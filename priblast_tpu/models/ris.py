@@ -1,0 +1,119 @@
+"""RNA interaction search pipeline (the reference's `ris` step;
+src/rna_interaction_search.cpp:61-92).
+
+Per query: accessibility DP + suffix array, then for every database page the
+kernel chain — seed search, interaction-energy expansion, ungapped extension,
+dedup, gapped extension, dedup — and CSV emission. Queries run in
+descending-length order; the output lines are emitted in exactly the order
+the single-threaded reference produces (query order x page order x hit
+order), so predictions.txt is byte-identical.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+
+import numpy as np
+
+from priblast_tpu.ops import native
+from priblast_tpu.utils import alphabet, fasta, store
+from priblast_tpu.utils.params import RisParams
+
+
+def format_hits(p: RisParams, res: dict, chunk: store.DbChunk, q_name: str,
+                q_length: int) -> list[str]:
+    """One CSV line per hit (reference: src/rna_interaction_search.cpp:322-369).
+    db coordinates are flipped back to the original 5'->3' orientation."""
+    lines = []
+    n = len(res["q_sp"])
+    for i in range(n):
+        sid = int(res["dbseq_id"][i])
+        rep_len = int(chunk.seq_length_rep[sid])
+        start_pos = int(chunk.start_pos[sid])
+        stored_len = int(chunk.seq_sizes[sid])
+        parts = [
+            q_name, str(q_length), chunk.names[sid], str(rep_len),
+            "%g" % res["acc_e"][i], "%g" % res["hyb_e"][i],
+            "%g" % res["energy"][i],
+        ]
+        b0, b1 = int(res["bp_off"][i]), int(res["bp_off"][i + 1])
+        if p.output_style == 1:
+            bps = "".join(
+                "(%d:%d) " % (res["bp_q"][j],
+                              (stored_len - 1) - (res["bp_db"][j] - start_pos))
+                for j in range(b0, b1))
+        else:
+            dbpos1 = (stored_len - 1) - (int(res["bp_db"][b0]) - start_pos)
+            dbpos2 = (stored_len - 1) - (int(res["bp_db"][b1 - 1]) - start_pos)
+            bps = "(%d-%d:%d-%d) " % (res["bp_q"][b0], res["bp_q"][b1 - 1],
+                                      dbpos1, dbpos2)
+        lines.append(",".join(parts) + "," + bps)
+    return lines
+
+
+def header(p: RisParams) -> str:
+    """Output header (reference: src/rna_interaction_search.cpp:445-462)."""
+    h = "RIblast ris result\n"
+    h += ("input:%s,database:%s,RepeatFlag:%d,MaximalSpan:%d,"
+          "MinAccessibleLength:%d,MaxSeedLength:%d,"
+          "InteractionEnergyThreshold:%g,HybridEnergyThreshold:%g,"
+          "FinalThreshold:%g,DropOutLengthWoGap:%d,DropOutLengthWGap:%d\n"
+          ) % (p.input, p.db_name, p.repeat_flag, p.maximal_span,
+               p.min_accessible_length, p.max_seed_length,
+               p.interaction_energy_threshold, p.hybrid_energy_threshold,
+               p.final_threshold, p.drop_out_length_wo_gap,
+               p.drop_out_length_w_gap)
+    h += ("Id,Query name, Query Length, Target name, Target Length, "
+          "Accessibility Energy, Hybridization Energy, Interaction Energy, "
+          "BasePair\n")
+    return h
+
+
+def search_query(p: RisParams, chunks: list[store.DbChunk], name: str,
+                 seq: str) -> list[str]:
+    """Full kernel chain for one query across all database pages."""
+    q_acc, q_cond = native.raccess(
+        alphabet.access_codes(seq), p.maximal_span, p.min_accessible_length)
+    q_enc = alphabet.encode_query(seq, p.repeat_flag)
+    q_sa = native.sa_build(q_enc)
+    q_length = int(np.count_nonzero((q_enc >= 2) & (q_enc <= 5)))
+
+    lines: list[str] = []
+    for chunk in chunks:
+        res = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunk, p)
+        lines.extend(format_hits(p, res, chunk, name, q_length))
+    return lines
+
+
+def run(p: RisParams, threads: int | None = None) -> None:
+    p.load_db_params()
+    names, seqs = fasta.read_fasta(p.input)
+    chunks = store.load_chunks(p.db_name, p.hash_size)
+    order = [int(i) for i in native.argsort_desc([len(s) for s in seqs])]
+    native.lib()
+
+    threads = threads or min(32, os.cpu_count() or 1)
+    results: list[list[str] | None] = [None] * len(seqs)
+
+    if p.engine == "tpu":
+        from priblast_tpu.models import ris_tpu
+
+        ris_tpu.run_queries(p, chunks, names, seqs, order, results)
+    elif threads > 1 and len(seqs) > 1:
+        with cf.ThreadPoolExecutor(threads) as ex:
+            futs = {ex.submit(search_query, p, chunks, names[i], seqs[i]): i
+                    for i in order}
+            for f in cf.as_completed(futs):
+                results[futs[f]] = f.result()
+    else:
+        for i in order:
+            results[i] = search_query(p, chunks, names[i], seqs[i])
+
+    with open(p.output, "w") as f:
+        f.write(header(p))
+        count = 0
+        for i in order:
+            for line in results[i] or []:
+                f.write("%d,%s\n" % (count, line))
+                count += 1

@@ -63,8 +63,112 @@ def _np(arr, dtype):
 def lib() -> ctypes.CDLL:
     so = ctypes.CDLL(str(_build()))
     so.rp_raccess.restype = ctypes.c_int
+    so.rp_search_chunk.restype = ctypes.c_void_p
+    so.rp_search_chunk.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,                                  # query
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, # db seq + sa
+        ctypes.c_void_p, ctypes.c_void_p,                 # hash
+        ctypes.c_void_p, ctypes.c_void_p,                 # acc/cond
+        ctypes.c_void_p, ctypes.c_void_p,                 # offsets
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # seq_len/start_pos/n
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    so.rp_result_sizes.argtypes = [ctypes.c_void_p] * 3
+    so.rp_result_copy.argtypes = [ctypes.c_void_p] * 13
+    so.rp_result_free.argtypes = [ctypes.c_void_p]
     _init_params(so)
     return so
+
+
+def _ptr(a: np.ndarray) -> ctypes.c_void_p:
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def sa_build(seq: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8-encoded string."""
+    so = lib()
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    sa = np.empty(len(seq), dtype=np.int32)
+    so.rp_sa_build(_ptr(seq), ctypes.c_int64(len(seq)), _ptr(sa))
+    return sa
+
+
+def kmer_hash(seq: np.ndarray, sa: np.ndarray, hash_size: int):
+    """SA intervals for every k-mer, k=1..hash_size, flattened level-major."""
+    so = lib()
+    slots = (4 ** (hash_size + 1) - 4) // 3
+    hstart = np.empty(slots, dtype=np.int32)
+    hend = np.empty(slots, dtype=np.int32)
+    so.rp_kmer_hash(_ptr(seq), ctypes.c_int64(len(seq)), _ptr(sa),
+                    ctypes.c_int(hash_size), _ptr(hstart), _ptr(hend))
+    return hstart, hend
+
+
+def argsort_desc(lengths) -> np.ndarray:
+    """Descending argsort with libstdc++ std::sort tie permutation."""
+    so = lib()
+    ln = np.ascontiguousarray(lengths, dtype=np.int64)
+    order = np.empty(len(ln), dtype=np.int32)
+    so.rp_argsort_desc(_ptr(ln), ctypes.c_int64(len(ln)), _ptr(order))
+    return order
+
+
+def search_chunk(q_seq, q_sa, q_acc, q_cond, chunk, p):
+    """Run the full per-query-per-chunk search chain on the exact engine.
+
+    `chunk` is a priblast_tpu.utils.store.DbChunk; `p` a RisParams.
+    Returns a dict of struct-of-arrays hit fields + base pairs.
+    """
+    so = lib()
+    handle = so.rp_search_chunk(
+        _ptr(q_seq), ctypes.c_int(len(q_seq)), _ptr(q_sa), _ptr(q_acc),
+        _ptr(q_cond),
+        _ptr(chunk.seqs), ctypes.c_int64(len(chunk.seqs)),
+        _ptr(chunk.suffix_array), _ptr(chunk.hash_start), _ptr(chunk.hash_end),
+        _ptr(chunk.acc), _ptr(chunk.cond), _ptr(chunk.acc_off),
+        _ptr(chunk.cond_off), _ptr(chunk.seq_sizes), _ptr(chunk.start_pos),
+        ctypes.c_int(chunk.n_seqs),
+        ctypes.c_int(p.hash_size), ctypes.c_int(p.max_seed_length),
+        ctypes.c_int(p.min_accessible_length),
+        ctypes.c_double(p.hybrid_energy_threshold),
+        ctypes.c_double(p.interaction_energy_threshold),
+        ctypes.c_double(p.final_threshold),
+        ctypes.c_int(p.drop_out_length_wo_gap),
+        ctypes.c_int(p.drop_out_length_w_gap),
+        ctypes.c_int(p.min_helix_length),
+    )
+    if not handle:
+        raise RuntimeError("rp_search_chunk failed (params not set?)")
+    try:
+        n_hits = ctypes.c_int64()
+        n_bps = ctypes.c_int64()
+        so.rp_result_sizes(handle, ctypes.byref(n_hits), ctypes.byref(n_bps))
+        n, b = n_hits.value, n_bps.value
+        out = {
+            "dbseq_id": np.empty(n, np.int32),
+            "dbseq_start": np.empty(n, np.int32),
+            "q_sp": np.empty(n, np.int32),
+            "db_sp": np.empty(n, np.int32),
+            "q_len": np.empty(n, np.int32),
+            "db_len": np.empty(n, np.int32),
+            "acc_e": np.empty(n, np.float64),
+            "hyb_e": np.empty(n, np.float64),
+            "energy": np.empty(n, np.float64),
+            "bp_off": np.empty(n + 1, np.int64),
+            "bp_q": np.empty(b, np.int32),
+            "bp_db": np.empty(b, np.int32),
+        }
+        so.rp_result_copy(handle, *[_ptr(out[k]) for k in (
+            "dbseq_id", "dbseq_start", "q_sp", "db_sp", "q_len", "db_len",
+            "acc_e", "hyb_e", "energy", "bp_off", "bp_q", "bp_db")])
+        if n == 0:
+            out["bp_off"][0] = 0
+        return out
+    finally:
+        so.rp_result_free(handle)
 
 
 def _init_params(so: ctypes.CDLL) -> None:
