@@ -597,6 +597,30 @@ static void biloop_probability(const AccessWorkspace &ws, int w,
 //   acc[0 .. n-d]                      window accessibilities (kcal/mol)
 //   cond[d .. n-1] (first d zeros)     conditional accessibilities
 // matching the in-memory variant (reference: src/raccess.cpp:484-528).
+// Debug/validation: run inside+outside and dump all 12 banded state
+// matrices plus the outer arrays ((n+1) x (w+2) each, row-major [i][span]).
+extern "C" int rp_raccess_dump(const uint8_t *codes, int n, int w_span,
+                               double *out) {
+  if (!g.ready) return -1;
+  thread_local AccessWorkspace ws;
+  ws.reset(codes, n, w_span);
+  inside_pass(ws);
+  outside_pass(ws);
+  const size_t cells = (size_t)(n + 1) * (w_span + 2);
+  double *p = out;
+  for (const auto *v :
+       {&ws.a_stem, &ws.a_stemend, &ws.a_multi, &ws.a_multibif, &ws.a_multi1,
+        &ws.a_multi2, &ws.b_stem, &ws.b_stemend, &ws.b_multi, &ws.b_multibif,
+        &ws.b_multi1, &ws.b_multi2}) {
+    std::memcpy(p, v->data(), cells * sizeof(double));
+    p += cells;
+  }
+  std::memcpy(p, ws.a_outer.data(), (n + 1) * sizeof(double));
+  p += n + 1;
+  std::memcpy(p, ws.b_outer.data(), (n + 1) * sizeof(double));
+  return 0;
+}
+
 extern "C" int rp_raccess(const uint8_t *codes, int n, int w_span, int d,
                           float *acc, float *cond) {
   if (!g.ready) return -1;
