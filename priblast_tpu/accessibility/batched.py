@@ -1,0 +1,950 @@
+"""Batched TPU accessibility engine (JAX).
+
+Computes per-window accessibilities for a *batch* of padded sequences with
+the linear-domain scaled formulation derived in
+:mod:`priblast_tpu.accessibility.linear_ref` (see its docstring for the
+math and the mapping to the reference recurrences in src/raccess.cpp).
+
+Design (TPU-first):
+
+- one `lax.scan` per pass over sequence columns; the carry holds only small
+  rolling windows (O(B * W * W)), per-column state is emitted through the
+  scan's stacked outputs, and all sequence/pair-type dependent weights are
+  precomputed as `[N, B, band]` grids consumed as scan inputs — the scan
+  body is pure arithmetic (VPU) plus small matmuls (MXU);
+- the O(MAXLOOP^2) interior-loop sum per column is an einsum against a
+  fixed 31x31 kernel followed by 31 static shifted adds;
+- the multiloop span accumulation is a triangular [band x band] matmul;
+- probability passes are fully vectorized over the whole grid (no scan);
+- everything is batched over sequences; padding columns are neutralized by
+  clamped gathers into zero-padded sequences (pair type 0 => weight 0).
+
+f32 by default (validated ~1e-3 kcal/mol against the exact engine for
+W <= 80); pass dtype=float64 on CPU for ~1e-9 agreement with linear_ref.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from priblast_tpu.accessibility.linear_ref import LinearModel
+from priblast_tpu.utils import thermo
+
+TURN = thermo.TURN
+ML = thermo.MAXLOOP
+
+
+@functools.lru_cache(maxsize=8)
+def _linmodel(w_span: int, log_sigma: float = 1.0) -> LinearModel:
+    return LinearModel(w_span, log_sigma)
+
+
+class Tables(NamedTuple):
+    """Device-resident constant tables."""
+    bp: jax.Array          # (5,5) int32
+    rtype: jax.Array       # (7,) int32
+    W_stack: jax.Array     # (7,7)
+    W_int11: jax.Array
+    W_int21: jax.Array
+    W_int22: jax.Array
+    W_mism_i: jax.Array
+    W_mism_h: jax.Array
+    W_d5: jax.Array
+    W_d3: jax.Array
+    W_au: jax.Array        # (7,)
+    W_hairpin_len: jax.Array
+    W_bulge_len: jax.Array
+    K2: jax.Array          # (ML+1, ML+1): K2[r, u2] = K_int[r-u2, u2]
+    Kb: jax.Array          # (ML+1,) bulge kernel (u >= 2)
+    Lmat: jax.Array        # (band, band) triangular decay matmul for multi
+    KbMat: jax.Array       # (band, band) banded bulge conv matmul
+    sig_pow: jax.Array
+    inv_sig_pow: jax.Array
+    W_mlb: float
+    W_mli: float
+    W_mlc: float
+    lsig: float
+    kT: float
+
+
+def make_tables(w_span: int, dtype=jnp.float32, log_sigma: float = 1.0) -> Tables:
+    m = _linmodel(w_span, log_sigma)
+    band = w_span + 2
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+
+    K2 = np.zeros((ML + 1, ML + 1))
+    for r in range(ML + 1):
+        for u2 in range(ML + 1):
+            if 0 <= r - u2 <= ML:
+                K2[r, u2] = m.K_int[r - u2, u2]
+
+    decay = float(m.W_mlb * np.exp(-m.lsig))
+    t_idx = np.arange(band)
+    Lmat = np.where(t_idx[:, None] <= t_idx[None, :],
+                    decay ** np.maximum(t_idx[None, :] - t_idx[:, None], 0), 0.0)
+    # KbMat[d', d] = Kb[d - d'] : bulge conv over the current column
+    diff = t_idx[None, :] - t_idx[:, None]
+    KbMat = np.where((diff >= 2) & (diff <= ML),
+                     m.K_bulge[np.clip(diff, 0, ML)], 0.0)
+
+    return Tables(
+        bp=jnp.asarray(m.bp), rtype=jnp.asarray(m.rtype),
+        W_stack=f(m.W_stack), W_int11=f(m.W_int11), W_int21=f(m.W_int21),
+        W_int22=f(m.W_int22), W_mism_i=f(m.W_mism_i), W_mism_h=f(m.W_mism_h),
+        W_d5=f(m.W_dangle5), W_d3=f(m.W_dangle3), W_au=f(m.W_au),
+        W_hairpin_len=f(m.W_hairpin_len), W_bulge_len=f(m.W_bulge_len),
+        K2=f(K2), Kb=f(m.K_bulge), Lmat=f(Lmat), KbMat=f(KbMat),
+        sig_pow=f(m.sig_pow), inv_sig_pow=f(m.inv_sig_pow),
+        W_mlb=float(m.W_mlb), W_mli=float(m.W_mli), W_mlc=float(m.W_mlc),
+        lsig=float(m.lsig), kT=float(m.sp.kT),
+    )
+
+
+def _shift_d(x: jax.Array, r: int) -> jax.Array:
+    """shift along the last (span) axis: out[..., d] = x[..., d - r]
+    (negative r reads larger spans); zero fill."""
+    if r == 0:
+        return x
+    if r > 0:
+        pad = [(0, 0)] * (x.ndim - 1) + [(r, 0)]
+        return jnp.pad(x, pad)[..., : x.shape[-1]]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, -r)]
+    return jnp.pad(x, pad)[..., -r:]
+
+
+class Grids(NamedTuple):
+    """Per-column weight grids, all [N+1, B, band] (leading axis = column j,
+    consumed by lax.scan)."""
+    stackW: jax.Array     # stem stack/stemend transition weight
+    t1_nz: jax.Array      # bool: pair (i+1, j) exists
+    mism_in: jax.Array    # prefold for stem as inner helix
+    au_in: jax.Array
+    dangle_ij: jax.Array  # exterior/multi2 dangle for pair (i+1, j)
+    validC: jax.Array     # bool: closing pair (i, j+1) exists (and j != n)
+    hpW: jax.Array        # hairpin weight * sigma^-d
+    mism_out: jax.Array   # closing-side mismatch factor
+    au_out: jax.Array
+    mlclose: jax.Array    # multi closing weight
+    sp10: jax.Array       # special small-loop weights (see linear_ref)
+    sp01: jax.Array
+    sp11: jax.Array
+    sp12: jax.Array
+    sp21: jax.Array
+    sp22: jax.Array
+    ext_dot: jax.Array    # sigma^d * dangle_ij  (exterior scan weight)
+
+
+def _gather_s(s: jax.Array, idx: jax.Array) -> jax.Array:
+    """s: [B, L] padded codes (s[:,0]=0); idx: [N+1, band] (may be out of
+    range — clamped; pads are 0 = unknown)."""
+    idxc = jnp.clip(idx, 0, s.shape[1] - 1)
+    return s[:, idxc]  # [B, N+1, band]
+
+
+def make_grids(t: Tables, s: jax.Array, lengths: jax.Array, n_max: int,
+               band: int, dtype) -> Grids:
+    """Build all weight grids. s: [B, n_max + ML + 4] int32 1-based padded
+    codes; lengths: [B] int32."""
+    B = s.shape[0]
+    jj = np.arange(n_max + 1)[:, None]           # [N+1, 1]
+    dd = np.arange(band)[None, :]                # [1, band]
+    iv = jj - dd                                 # i = j - d
+
+    def S(off_i=None, off_j=None, const=None):
+        if const is not None:
+            idx = np.broadcast_to(const, (n_max + 1, band))
+        elif off_j is not None:
+            idx = np.broadcast_to(jj + off_j, (n_max + 1, band))
+        else:
+            idx = iv + off_i
+        return jnp.transpose(_gather_s(s, jnp.asarray(idx)), (1, 0, 2))
+
+    s_i = S(off_i=0)        # [N+1, B, band]
+    s_i1 = S(off_i=1)
+    s_i2 = S(off_i=2)
+    s_i3 = S(off_i=3)
+    s_j = S(off_j=0)
+    s_jm1 = S(off_j=-1)
+    s_jm2 = S(off_j=-2)
+    s_jp1 = S(off_j=1)
+
+    bp, rt = t.bp, t.rtype
+    T1 = bp[s_i1, s_j]
+    T1r = rt[T1]
+    T2r = rt[bp[s_i2, s_jm1]]
+    TC = bp[s_i, s_jp1]
+    TCr = rt[TC]
+
+    jjb = jnp.asarray(np.broadcast_to(jj, (n_max + 1, band)))[:, None, :]
+    ivb = jnp.asarray(np.broadcast_to(iv, (n_max + 1, band)))[:, None, :]
+    nb = lengths[None, :, None]  # [1, B, 1]
+
+    # dangle weight for pair type T1 on (i, j) (reference: raccess.cpp:244-256)
+    def dangle_w(types, a_idx, b_idx, s_a, s_b1):
+        w5 = jnp.where(a_idx > 0, t.W_d5[types, s_a], 1.0)
+        w3 = jnp.where(b_idx < nb, t.W_d3[types, s_b1], 1.0)
+        wau = jnp.where((b_idx == nb) & (types > 2),
+                        t.W_au[jnp.minimum(types, 6)], 1.0)
+        return jnp.where(types != 0, w5 * w3 * wau, 1.0).astype(dtype)
+
+    dangle_ij = dangle_w(T1, ivb, jjb, s_i, s_jp1)
+
+    # hairpin weight for closing (i, j+1): loop size d
+    ddv = jnp.asarray(np.broadcast_to(dd, (n_max + 1, band)))[:, None, :]
+    hp_len = t.W_hairpin_len[jnp.clip(ddv, 0, t.W_hairpin_len.shape[0] - 1)]
+    hp_mism = t.W_mism_h[TC, s_i1, s_j]
+    hp_au = jnp.where(TC > 2, t.W_au[jnp.minimum(TC, 6)], 1.0)
+    hpW = jnp.where(ddv != 3, hp_len * hp_mism, hp_len * hp_au)
+    hpW = (hpW * t.inv_sig_pow[jnp.clip(ddv, 0, t.inv_sig_pow.shape[0] - 1)]
+           ).astype(dtype)
+
+    mlclose = (t.W_mlc * t.W_mli * t.W_d3[TCr, s_i1] *
+               t.W_d5[TCr, s_j]).astype(dtype)
+
+    sig = lambda k: dtype(np.exp(-k * t.lsig))
+    b1 = t.W_bulge_len[1]
+    sp10 = (b1 * t.W_stack[TC, rt[bp[s_i2, s_j]]] * sig(1)).astype(dtype)
+    sp01 = (b1 * t.W_stack[TC, rt[bp[s_i1, s_jm1]]] * sig(1)).astype(dtype)
+    sp11 = (t.W_int11[TC, rt[bp[s_i2, s_jm1]], s_i1, s_j] * sig(2)).astype(dtype)
+    sp12 = (t.W_int21[TC, rt[bp[s_i2, s_jm2]], s_i1, s_jm1, s_j] * sig(3)).astype(dtype)
+    sp21 = (t.W_int21[rt[bp[s_i3, s_jm1]], TC, s_j, s_i1, s_i2] * sig(3)).astype(dtype)
+    sp22 = (t.W_int22[TC, rt[bp[s_i3, s_jm2]], s_i1, s_i2, s_jm1, s_j] * sig(4)).astype(dtype)
+
+    validC = (TC != 0) & (jjb != nb)  # stemend only for j != n (per seq)
+
+    sigp = t.sig_pow[jnp.clip(ddv, 0, t.sig_pow.shape[0] - 1)]
+    ext_dot = (sigp * dangle_ij).astype(dtype)
+
+    return Grids(
+        stackW=t.W_stack[T1, T2r].astype(dtype),
+        t1_nz=T1 != 0,
+        mism_in=t.W_mism_i[T1r, s_jp1, s_i].astype(dtype),
+        au_in=t.W_au[jnp.minimum(T1r, 6)].astype(dtype),
+        dangle_ij=dangle_ij,
+        validC=validC,
+        hpW=hpW,
+        mism_out=t.W_mism_i[TC, s_i1, s_j].astype(dtype),
+        au_out=t.W_au[jnp.minimum(TC, 6)].astype(dtype),
+        mlclose=mlclose,
+        sp10=sp10, sp01=sp01, sp11=sp11, sp12=sp12, sp21=sp21, sp22=sp22,
+        ext_dot=ext_dot,
+    )
+
+
+def inside_pass(t: Tables, g: Grids, n_max: int, band: int, B: int, dtype):
+    """Column scan of the inside recurrences. Returns stacked per-column
+    state [N+1, B, band] for stem, stem_mism, stem_au, multi, multi1,
+    multi2 and the log-exterior A [N+1, B]."""
+    W = band - 2
+    sig2 = dtype(np.exp(-2 * t.lsig))
+    sig1 = dtype(np.exp(-t.lsig))
+    zcol = jnp.zeros((B, band), dtype)
+
+    carry0 = dict(
+        stem_prev=zcol, stemend_prev=zcol, multi2_prev=zcol,
+        smw=jnp.zeros((B, ML + 1, band), dtype),   # stem_mism cols j-1..j-ML-?
+        saw=jnp.zeros((B, ML + 1, band), dtype),   # stem_au window
+        m1w=jnp.zeros((B, W + 1, band), dtype),    # multi1 cols j-1..j-W-1
+        awin=jnp.zeros((B, W + 2), dtype),         # A[j-1-t], t = 0..W+1
+        a_prev=jnp.zeros((B,), dtype),
+    )
+
+    def step(c, x):
+        (stackW, t1_nz, mism_in, au_in, dangle_ij, validC, hpW, mism_out,
+         au_out, mlclose, sp10, sp01, sp11, sp12, sp21, sp22, ext_dot) = x
+
+        stem_prev, stemend_prev = c["stem_prev"], c["stemend_prev"]
+
+        # stem: from (i+1, j-1) = prev column, span d-2
+        inner = (_shift_d(stem_prev, 2) * stackW + _shift_d(stemend_prev, 2))
+        stem = jnp.where(t1_nz, inner * sig2, 0.0)
+        stem_m = stem * mism_in
+        stem_a = stem * au_in
+
+        # multi2
+        multi2 = (jnp.where(t1_nz, stem * t.W_mli * dangle_ij, 0.0)
+                  + _shift_d(c["multi2_prev"], 1) * (t.W_mlb * sig1))
+
+        # multibif: sum_u multi1[j-u][d-u] * multi2[j][u]
+        m1w = c["m1w"]  # [B, W+1, band]; index u-1 = column j-u
+        mb = jnp.zeros_like(multi2)
+        for u in range(1, W + 1):
+            mb = mb + _shift_d(m1w[:, u - 1, :], u) * multi2[:, u][:, None]
+        multi1 = multi2 + mb
+
+        # multi: triangular decay matmul over spans
+        multi = jnp.einsum("bt,td->bd", mb, t.Lmat,
+                           preferred_element_type=dtype)
+
+        # stemend
+        smw_full = jnp.concatenate([stem_m[:, None, :], c["smw"][:, :-1, :]],
+                                   axis=1)  # u2 = 0..ML -> cols j-u2
+        saw_full = jnp.concatenate([stem_a[:, None, :], c["saw"][:, :-1, :]],
+                                   axis=1)
+        # general interior: G[b, r, d] = sum_u2 smw[b, u2, d] * K2[r, u2]
+        G = jnp.einsum("bud,ru->brd", smw_full, t.K2,
+                       preferred_element_type=dtype)
+        gen = jnp.zeros_like(stem)
+        for r in range(2, ML + 1):
+            gen = gen + _shift_d(G[:, r, :], r)
+        se = hpW + gen * mism_out
+
+        # bulges: same-column (u1-side) via banded matmul; window (u2-side)
+        bul = jnp.einsum("bt,td->bd", stem_a, t.KbMat,
+                         preferred_element_type=dtype)
+        for u in range(2, ML + 1):
+            bul = bul + _shift_d(saw_full[:, u, :], u) * t.Kb[u]
+        se = se + bul * au_out
+
+        # small-loop specials (cells: (1,0)=cur col d-1, (0,1)=prev d-1,
+        # (1,1)=prev d-2, (1,2)=col j-2 d-3, (2,1)=prev d-3, (2,2)=col j-2 d-4)
+        se = se + sp10 * _shift_d(stem, 1)
+        se = se + sp01 * _shift_d(stem_prev, 1)
+        se = se + sp11 * _shift_d(stem_prev, 2)
+        se = se + sp21 * _shift_d(stem_prev, 3)
+        # (1,2) and (2,2) need raw stem of column j-2 — carried below
+        se = se + sp12 * _shift_d(c["stem_prev2"], 3)
+        se = se + sp22 * _shift_d(c["stem_prev2"], 4)
+
+        # multiloop closing
+        se = se + multi * mlclose
+        stemend = jnp.where(validC, se, 0.0)
+
+        # exterior scan: A[j] = A[j-1] + log1p(sum_dp stem[dp] * ext_dot[dp]
+        #                                       * exp(A[j-dp] - A[j-1]))
+        awin = c["awin"]  # awin[:, tpos] = A[j-1-tpos]
+        a_prev = c["a_prev"]
+        # A[j-dp] for dp = 1..W+1 -> awin[:, dp-1]
+        expd = jnp.exp(awin - a_prev[:, None])  # <= 1
+        dot = jnp.sum(stem[:, 1:] * ext_dot[:, 1:] * expd[:, : band - 1],
+                      axis=1)
+        a_cur = a_prev + jnp.log1p(dot)
+
+        new_c = dict(
+            stem_prev=stem, stemend_prev=stemend, multi2_prev=multi2,
+            stem_prev2=stem_prev,
+            smw=smw_full,
+            saw=saw_full,
+            m1w=jnp.concatenate([multi1[:, None, :], m1w[:, :-1, :]], axis=1),
+            awin=jnp.concatenate([a_cur[:, None], awin[:, :-1]], axis=1),
+            a_prev=a_cur,
+        )
+        ys = (stem, stem_m, stem_a, multi, multi1, multi2, a_cur)
+        return new_c, ys
+
+    carry0["stem_prev2"] = zcol
+    xs = tuple(g)
+    _, ys = lax.scan(step, carry0, xs)
+    return ys  # each [N+1, B, ...]
+
+
+def _shift_cols(x: jax.Array, k: int) -> jax.Array:
+    """shift along the leading (column) axis: out[j] = x[j - k] (k may be
+    negative: out[j] = x[j + |k|]); zero fill."""
+    if k == 0:
+        return x
+    if k > 0:
+        pad = [(k, 0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)[: x.shape[0]]
+    pad = [(0, -k)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)[-k:]
+
+
+def _diag_view(x: jax.Array, band: int) -> jax.Array:
+    """D[i, b, e] = x[i + e, b, e] for a [N+1, B, band] column-major banded
+    array — the row-major (left-end indexed) view, built with static rolls."""
+    cols = [_shift_cols(x[..., e], -e)[..., None] for e in range(band)]
+    return jnp.concatenate(cols, axis=-1)
+
+
+class OutsideGrids(NamedTuple):
+    """Per-column grids for the outside pass, [N+1, B, band] (column q)."""
+    t2_nz: jax.Array      # pair (p+1, q) exists
+    seed: jax.Array       # exp(A[p] + B[q] - logZ + d lsig) precursor: A[q-d]
+    dangle_pq: jax.Array  # same dangle as inside (pair (p+1, q))
+    bse_mism_w: jax.Array  # prefold weight for bse cells (closing (p, q+1))
+    bse_au_w: jax.Array
+    mism_out2: jax.Array  # mismatch postfactor for the (p, q) stem pair side
+    au_out2: jax.Array
+    contW: jax.Array      # helix continuation stack weight (masked)
+    mlclose_o: jax.Array  # beta multi closing weight
+    spo10: jax.Array
+    spo01: jax.Array
+    spo11: jax.Array
+    spo12: jax.Array
+    spo21: jax.Array
+    spo22: jax.Array
+    m2diag: jax.Array     # multi2[q+t][t]
+    valid_int: jax.Array  # (p != 0) & (q != n)
+
+
+def make_outside_grids(t: Tables, s: jax.Array, lengths: jax.Array,
+                       n_max: int, band: int, dtype, g: Grids,
+                       multi2_full: jax.Array, A_full: jax.Array,
+                       B_full: jax.Array, logZ: jax.Array) -> OutsideGrids:
+    B = s.shape[0]
+    jj = np.arange(n_max + 1)[:, None]
+    dd = np.arange(band)[None, :]
+    pv = jj - dd
+
+    def S(off_i=None, off_j=None):
+        if off_j is not None:
+            idx = np.broadcast_to(jj + off_j, (n_max + 1, band))
+        else:
+            idx = pv + off_i
+        return jnp.transpose(_gather_s(s, jnp.asarray(idx)), (1, 0, 2))
+
+    s_p = S(off_i=0)
+    s_p1 = S(off_i=1)
+    s_pm1 = S(off_i=-1)
+    s_q = S(off_j=0)
+    s_q1 = S(off_j=1)
+    s_q2 = S(off_j=2)
+
+    bp, rt = t.bp, t.rtype
+    T2 = bp[s_p1, s_q]
+    T2r = rt[T2]
+    TC = bp[s_p, s_q1]  # closing (p, q+1) of the bse cell at (q, d)
+    TCr = rt[TC]
+
+    jjb = jnp.asarray(np.broadcast_to(jj, (n_max + 1, band)))[:, None, :]
+    pvb = jnp.asarray(np.broadcast_to(pv, (n_max + 1, band)))[:, None, :]
+    nb = lengths[None, :, None]
+    ddv = jnp.asarray(np.broadcast_to(dd, (n_max + 1, band)))[:, None, :]
+
+    # A[q - d] diagonal grid + seed
+    A_pad = jnp.concatenate(
+        [jnp.zeros((band, A_full.shape[1]), A_full.dtype), A_full], axis=0)
+    idx = jnp.asarray(np.clip(jj - dd + band, 0, n_max + band))
+    A_diag = A_pad[idx]  # [N+1, band, B] -> transpose
+    A_diag = jnp.transpose(A_diag, (0, 2, 1))
+    Bq = jnp.transpose(B_full, (0, 1))[:, :, None]  # [N+1, B, 1]
+    seed = jnp.exp(A_diag + Bq - logZ[None, :, None] +
+                   (ddv * dtype(t.lsig)).astype(dtype)).astype(dtype)
+    seed = jnp.where(pvb >= 0, seed, 0.0)
+
+    cmask = TC != 0
+    bse_mism_w = jnp.where(cmask, t.W_mism_i[TC, s_p1, s_q], 0.0).astype(dtype)
+    bse_au_w = jnp.where(cmask, t.W_au[jnp.minimum(TC, 6)], 0.0).astype(dtype)
+
+    mlclose_o = (t.W_mlc * t.W_mli * t.W_d3[TCr, s_p1] *
+                 t.W_d5[TCr, s_q]).astype(dtype)
+
+    sig = lambda k: dtype(np.exp(-k * t.lsig))
+    b1 = t.W_bulge_len[1]
+
+    def ct(v1, v2):
+        # closing type of bse cell (p - v1, q + v2): bp(s[p-v1], s[q+v2+1])
+        sa = S(off_i=-v1)
+        sb = S(off_j=v2 + 1)
+        return bp[sa, sb]
+
+    tc10 = ct(1, 0)
+    tc01 = ct(0, 1)
+    tc11 = ct(1, 1)
+    tc12 = ct(1, 2)
+    tc21 = ct(2, 1)
+    tc22 = ct(2, 2)
+    spo10 = (b1 * t.W_stack[tc10, T2r] * sig(1)).astype(dtype)
+    spo01 = (b1 * t.W_stack[tc01, T2r] * sig(1)).astype(dtype)
+    spo11 = jnp.where(tc11 != 0, t.W_int11[tc11, T2r, s_p, s_q1] * sig(2),
+                      0.0).astype(dtype)
+    spo12 = jnp.where(tc12 != 0,
+                      t.W_int21[tc12, T2r, s_p, s_q1, s_q2] * sig(3),
+                      0.0).astype(dtype)
+    spo21 = jnp.where(tc21 != 0,
+                      t.W_int21[T2r, tc21, s_q1, s_pm1, s_p] * sig(3),
+                      0.0).astype(dtype)
+    spo22 = jnp.where(tc22 != 0,
+                      t.W_int22[tc22, T2r, s_pm1, s_p, s_q1, s_q2] * sig(4),
+                      0.0).astype(dtype)
+
+    # helix continuation weight: stack(bp(s[p], s[q+1]), T2r), guarded
+    tcont = bp[s_p, s_q1]
+    contW = jnp.where((tcont != 0) & (pvb != 0) & (jjb != nb),
+                      t.W_stack[tcont, T2r] * sig(2), 0.0).astype(dtype)
+
+    # multi2[q + t][t] diagonal (for beta multi1)
+    m2diag = _diag_view(multi2_full, band)  # [q, B, t] = multi2[q+t][t]
+    # zero the span-(W+1) entries: reference bound k <= p + W
+    m2mask = np.ones(band); m2mask[band - 1] = 0.0
+    m2diag = m2diag * jnp.asarray(m2mask, dtype)[None, None, :]
+
+    valid_int = (pvb > 0) & (jjb != nb)
+
+    return OutsideGrids(
+        t2_nz=T2 != 0, seed=seed, dangle_pq=g.dangle_ij,
+        bse_mism_w=bse_mism_w, bse_au_w=bse_au_w,
+        mism_out2=t.W_mism_i[T2r, s_q1, s_p].astype(dtype),
+        au_out2=t.W_au[jnp.minimum(T2r, 6)].astype(dtype),
+        contW=contW, mlclose_o=mlclose_o,
+        spo10=spo10, spo01=spo01, spo11=spo11, spo12=spo12, spo21=spo21,
+        spo22=spo22, m2diag=m2diag, valid_int=valid_int,
+    )
+
+
+def outside_pass(t: Tables, og: OutsideGrids, multi1_full: jax.Array,
+                 n_max: int, band: int, B: int, dtype):
+    """Column scan (descending q) of the outside recurrences. Returns
+    stacked bse, bse_mism, bse_au, b_multi, b_multi2 ([N+1, B, band])."""
+    W = band - 2
+    sig2 = dtype(np.exp(-2 * t.lsig))
+    sig1 = dtype(np.exp(-t.lsig))
+    decay = dtype(t.W_mlb) * sig1
+    zcol = jnp.zeros((B, band), dtype)
+
+    # multi1 window source, front-padded so dynamic_slice never clamps:
+    # padded index q + band corresponds to column q.
+    m1_pad = jnp.concatenate(
+        [jnp.zeros((band, B, band), dtype), multi1_full], axis=0)
+
+    # beta multi decay matmul (upper-triangular, e >= d)
+    tt = np.arange(band)
+    LmatU = np.where(tt[:, None] >= tt[None, :],
+                     float(t.W_mlb * np.exp(-t.lsig)) **
+                     np.maximum(tt[:, None] - tt[None, :], 0), 0.0)
+    LmatU = jnp.asarray(LmatU, dtype)
+    # bulge conv over same column, larger spans: KbMatU[e, d] = Kb[e - d]
+    diff = tt[:, None] - tt[None, :]
+    Kb_np = _linmodel(band - 2).K_bulge
+    KbMatU = jnp.asarray(
+        np.where((diff >= 2) & (diff <= ML),
+                 Kb_np[np.clip(diff, 0, ML)], 0.0), dtype)
+
+    carry0 = dict(
+        bstem_next=zcol,                       # b_stem col q+1
+        bsew=jnp.zeros((B, ML + 1, band), dtype),    # bse_mism cols q+1..q+ML+?
+        bsaw=jnp.zeros((B, ML + 1, band), dtype),
+        bse_raw=jnp.zeros((B, 3, band), dtype),      # raw bse cols q+1, q+2
+        bmbw=jnp.zeros((B, W + 1, band), dtype),     # b_multibif cols q+1..q+W+1
+        bmulti2_next=zcol,
+        qidx=jnp.asarray(n_max, jnp.int32),
+    )
+
+    def step(c, x):
+        (t2_nz, seed, dangle_pq, bse_mism_w, bse_au_w, mism_out2, au_out2,
+         contW, mlclose_o, spo10, spo01, spo11, spo12, spo21, spo22,
+         m2diag, valid_int) = x
+        q = c["qidx"]
+
+        # stemend: b_stem[q+1][d+2] * sig^2, masked d < W
+        bse = _shift_d(c["bstem_next"], -2) * sig2
+        dmask = jnp.arange(band) < W
+        bse = jnp.where(valid_int & dmask[None, :], bse, 0.0)
+        bse_m = bse * bse_mism_w
+        bse_a = bse * bse_au_w
+
+        # multi: upper-triangular decay matmul of the closing term
+        clos = bse * mlclose_o
+        clos = jnp.where(valid_int, clos, 0.0)
+        bmulti = jnp.einsum("be,ed->bd", clos, LmatU,
+                            preferred_element_type=dtype)
+        bmulti = jnp.where(valid_int, bmulti, 0.0)
+
+        # multi1: sum_t bmb[q+t][t+d] * multi2[q+t][t]
+        bmbw = c["bmbw"]  # [B, W+1, band]; index t-1 = col q+t
+        bm1 = jnp.zeros_like(bse)
+        for tshift in range(1, W + 1):
+            bm1 = bm1 + (_shift_d(bmbw[:, tshift - 1, :], -tshift) *
+                         m2diag[:, tshift][:, None])
+        bm1 = jnp.where(valid_int, bm1, 0.0)
+
+        bmb = bm1 + bmulti  # b_multibif
+
+        # multi2: bm1 + decayed next-column + same-column bif closings.
+        # Needs multi1[q - d][f]: slice padded cols q-band+1..q (padded index
+        # of col c is c + band), then flip so M1COLS[d] = col q - d.
+        m1win = lax.dynamic_slice(
+            m1_pad, (q + 1, jnp.zeros((), q.dtype), jnp.zeros((), q.dtype)),
+            (band, B, band))
+        M1COLS = jnp.transpose(jnp.flip(m1win, axis=0), (1, 0, 2))  # [B,d,f]
+        # same-column reduction bound: e = d + f <= W (raccess.cpp:342)
+        bmb_masked = bmb * jnp.asarray(
+            np.concatenate([np.ones(band - 1), [0.0]]), dtype)[None, :]
+        bm2 = bm1 + _shift_d(c["bmulti2_next"], -1) * decay
+        for f in range(1, W + 1):
+            bm2 = bm2 + _shift_d(bmb_masked, -f) * M1COLS[:, :, f]
+        bm2 = jnp.where(valid_int, bm2, 0.0)
+
+        # stem
+        out = seed * dangle_pq
+        bsew_full = c["bsew"]  # cols q+1..; need cols q..q+ML: prepend current
+        bsew_cur = jnp.concatenate([bse_m[:, None, :], bsew_full[:, :-1, :]],
+                                   axis=1)
+        bsaw_cur = jnp.concatenate([bse_a[:, None, :], c["bsaw"][:, :-1, :]],
+                                   axis=1)
+        Gp = jnp.einsum("bud,ru->brd", bsew_cur, t.K2,
+                        preferred_element_type=dtype)
+        gen = jnp.zeros_like(bse)
+        for r in range(2, ML + 1):
+            gen = gen + _shift_d(Gp[:, r, :], -r)
+        out = out + gen * mism_out2
+
+        bul = jnp.einsum("be,ed->bd", bse_a, KbMatU,
+                         preferred_element_type=dtype)
+        for u in range(2, ML + 1):
+            bul = bul + _shift_d(bsaw_cur[:, u, :], -u) * t.Kb[u]
+        out = out + bul * au_out2
+
+        # specials: bse cells (v1, v2) at col q+v2, span d+v1+v2
+        bse_raw_q1 = c["bse_raw"][:, 0, :]
+        bse_raw_q2 = c["bse_raw"][:, 1, :]
+        out = out + spo10 * _shift_d(bse, -1)
+        out = out + spo01 * _shift_d(bse_raw_q1, -1)
+        out = out + spo11 * _shift_d(bse_raw_q1, -2)
+        out = out + spo21 * _shift_d(bse_raw_q1, -3)
+        out = out + spo12 * _shift_d(bse_raw_q2, -3)
+        out = out + spo22 * _shift_d(bse_raw_q2, -4)
+
+        # helix continuation + multiloop participation
+        out = out + _shift_d(c["bstem_next"], -2) * contW
+        out = out + bm2 * dtype(t.W_mli) * dangle_pq
+        bstem = jnp.where(t2_nz, out, 0.0)
+
+        new_c = dict(
+            bstem_next=bstem,
+            bsew=bsew_cur,
+            bsaw=bsaw_cur,
+            bse_raw=jnp.concatenate([bse[:, None, :], c["bse_raw"][:, :-1, :]],
+                                    axis=1),
+            bmbw=jnp.concatenate([bmb_masked[:, None, :],
+                                  c["bmbw"][:, :-1, :]], axis=1),
+            bmulti2_next=bm2,
+            qidx=q - 1,
+        )
+        ys = (bse, bse_m, bse_a, bmulti, bm2)
+        return new_c, ys
+
+    xs = tuple(og)
+    _, ys = lax.scan(step, carry0, xs, reverse=True)
+    return ys
+
+
+def b_outer_scan(stem_full: jax.Array, ext_dot_full: jax.Array, n_max: int,
+                 band: int, B: int, dtype, lengths: jax.Array) -> jax.Array:
+    """log beta_outer backward scan (reference: raccess.cpp:260-271).
+
+    B[i] = B[i+1] + log1p(sum_dp stem[i+dp][dp] * ext_dot[i+dp][dp]
+                           * exp(B[i+dp] - B[i+1]))
+    using the diagonal views of the stacked inside outputs."""
+    sd = _diag_view(stem_full * ext_dot_full, band)  # [i, B, dp]
+
+    carry0 = dict(bwin=jnp.zeros((B, band), dtype),
+                  b_next=jnp.zeros((B,), dtype))
+
+    def step(c, x):
+        sdot = x  # [B, band]
+        bwin, b_next = c["bwin"], c["b_next"]
+        # B[i+dp] = bwin[dp-1]
+        expd = jnp.exp(bwin - b_next[:, None])
+        dot = jnp.sum(sdot[:, 1:] * expd[:, : band - 1], axis=1)
+        b_cur = b_next + jnp.log1p(dot)
+        new_c = dict(bwin=jnp.concatenate([b_cur[:, None], bwin[:, :-1]],
+                                          axis=1),
+                     b_next=b_cur)
+        return new_c, b_cur
+
+    _, Bl = lax.scan(step, carry0, sd, reverse=True)
+    # positions beyond each sequence's length must read 0 (B[n] = 0); the
+    # scan ran over padding columns where stems are 0, so B is constant
+    # (= B[n]) there — subtract that constant per sequence.
+    offs = jnp.take_along_axis(Bl, lengths[None, :], axis=0)  # B[n_b]
+    return Bl - offs
+
+
+class ProbGrids(NamedTuple):
+    """Weight grids for the probability biloop specials, on the bse-cell
+    grid [N+1(col jc), B, band(ecell)]; closing pair is (i, j) = (jc-ecell,
+    jc+1)."""
+    pb10: jax.Array
+    pb01: jax.Array
+    pb11: jax.Array
+    pb12: jax.Array
+    pb21: jax.Array
+    pb22: jax.Array
+
+
+def make_prob_grids(t: Tables, s: jax.Array, n_max: int, band: int,
+                    dtype) -> ProbGrids:
+    jj = np.arange(n_max + 1)[:, None]   # jc
+    dd = np.arange(band)[None, :]        # ecell
+    iv = jj - dd                         # i = jc - ecell; j = jc + 1
+
+    def S(off_i=None, off_j=None):
+        if off_j is not None:
+            idx = np.broadcast_to(jj + off_j, (n_max + 1, band))
+        else:
+            idx = iv + off_i
+        return jnp.transpose(_gather_s(s, jnp.asarray(idx)), (1, 0, 2))
+
+    s_i = S(off_i=0)
+    s_i1 = S(off_i=1)
+    s_i2 = S(off_i=2)
+    s_i3 = S(off_i=3)
+    s_j = S(off_j=1)      # s[j] = s[jc+1]
+    s_jm1 = S(off_j=0)    # s[j-1] = s[jc]
+    s_jm2 = S(off_j=-1)
+    s_jm3 = S(off_j=-2)
+
+    bp, rt = t.bp, t.rtype
+    TCL = bp[s_i, s_j]  # closing (i, j)
+    sig = lambda k: dtype(np.exp(-k * t.lsig))
+    b1 = t.W_bulge_len[1]
+
+    def mask(w):
+        return jnp.where(TCL != 0, w, 0.0).astype(dtype)
+
+    # inner pair (p, q) = (i + u1 + 1, j - u2 - 1); its type for stacks:
+    pb10 = mask(b1 * t.W_stack[TCL, rt[bp[s_i2, s_jm1]]]) * sig(1)
+    pb01 = mask(b1 * t.W_stack[TCL, rt[bp[s_i1, s_jm2]]]) * sig(1)
+    pb11 = mask(t.W_int11[TCL, rt[bp[s_i2, s_jm2]], s_i1, s_jm1]) * sig(2)
+    pb12 = mask(t.W_int21[TCL, rt[bp[s_i2, s_jm3]], s_i1, s_jm2, s_jm1]) * sig(3)
+    pb21 = mask(t.W_int21[rt[bp[s_i3, s_jm2]], TCL, s_jm1, s_i1, s_i2]) * sig(3)
+    pb22 = mask(t.W_int22[TCL, rt[bp[s_i3, s_jm3]], s_i1, s_i2, s_jm2, s_jm1]) * sig(4)
+    return ProbGrids(pb10, pb01, pb11, pb12, pb21, pb22)
+
+
+def probability_pass(t: Tables, g: Grids, pg: ProbGrids, ins, outs,
+                     A_full, B_full, logZ, w: int, n_max: int, band: int,
+                     dtype):
+    """Window-unpaired probabilities for window sizes w and w+1, fully
+    vectorized (reference: raccess.cpp:421-681). Returns the 8 component
+    arrays indexed [N+2, B] by window start x (1-based)."""
+    W = band - 2
+    stem, stem_m, stem_a, multi, multi1, multi2, _ = ins
+    bse, bse_m, bse_a, b_multi, b_multi2 = outs
+    Np = n_max + 2
+
+    def xarr():
+        return jnp.zeros((Np, stem.shape[1]), dtype)
+
+    # ---- exterior: exp(A[x-1] + B[x+w-1] - logZ) --------------------------
+    def exterior(wsz):
+        a = _shift_cols(A_full, 1)                      # A[x-1] at row x
+        b = _shift_cols(B_full, -(wsz - 1))             # B[x+wsz-1] at row x
+        e = jnp.exp(a + b - logZ[None, :])
+        # valid for 1 <= x <= n-wsz+1; row 0 unused
+        return jnp.pad(e, ((0, 1), (0, 0)))[:Np]
+
+    ext_w = exterior(w)
+    ext_w1 = exterior(w + 1)
+
+    # ---- hairpin ----------------------------------------------------------
+    # Cell (i, j) lives at [jc = j-1][ecell = j-i-1] and covers windows
+    # x in [i+1, j-w]. With offset o = j - x in [w, min(e-1, W-?)]:
+    #   total[x] = sum_o SS[x+o-1][o],  SS[c][k] = sum_{e >= k} HP[c][e]
+    # (bounded nonnegative sums — no cumsum cancellation, f32-safe).
+    HP = bse * g.hpW  # cell (i, j) at [jc = j-1][ecell = j-i-1]
+    SS = jnp.cumsum(HP[:, :, ::-1], axis=2)[:, :, ::-1]  # suffix over span
+    hp_b = jnp.zeros((Np, HP.shape[1]), dtype)
+    hp_c = jnp.zeros((Np, HP.shape[1]), dtype)
+    for o in range(w, band - 1):
+        term = jnp.pad(_shift_cols(SS[:, :, o], -(o - 1)),
+                       ((0, 1), (0, 0)))[:Np]
+        hp_b = hp_b + term
+        if o > w:
+            hp_c = hp_c + term
+
+    # ---- multiloop --------------------------------------------------------
+    def multi_prob(wsz):
+        sigf = dtype(np.exp(-wsz * t.lsig))
+        part = jnp.zeros((n_max + 1, stem.shape[1]), dtype)
+        for tt in range(wsz, band):
+            prod = b_multi[:, :, tt] * multi[:, :, tt - wsz]
+            part = part + _shift_cols(prod, 1 - tt)
+        for tt in range(0, W - wsz + 1):
+            prod = _shift_cols(b_multi2[:, :, tt + wsz], -(wsz - 1)) * \
+                _shift_cols(multi2[:, :, tt], 1)
+            part = part + prod
+        return jnp.pad(part * sigf, ((0, 1), (0, 0)))[:Np]
+
+    mp_w = multi_prob(w)
+    mp_w1 = multi_prob(w + 1)
+
+    # ---- bulge/internal ("biloop") ---------------------------------------
+    # Per-(u1)/(u2) reduced contributions are collected into srcL[u1]
+    # (indexed by the outer cell's left end i) and srcR[u2] (indexed by jc),
+    # then spread over their bounded windows with nonnegative suffix-sum
+    # shifts (f32-safe; see linear_ref for the window derivations).
+    _lm = _linmodel(band - 2)
+    KInt = np.zeros((2 * ML + 1, ML + 1))
+    for r in range(2 * ML + 1):
+        for u2 in range(ML + 1):
+            if 0 <= r - u2 <= ML:
+                KInt[r, u2] = _lm.K_int[r - u2, u2]
+    Kb = _lm.K_bulge
+
+    D_bse_m = _diag_view(bse_m, band)
+    D_bse_a = _diag_view(bse_a, band)
+    D_sm = _diag_view(stem_m, band)
+    D_sa = _diag_view(stem_a, band)
+
+    nrows = bse.shape[0]
+    zrow = jnp.zeros((nrows, bse.shape[1]), dtype)
+    srcL = {u: zrow for u in range(ML + 1)}
+    srcR = {u: zrow for u in range(ML + 1)}
+
+    # general interior, right side (per u2)
+    for u2 in range(1, ML + 1):
+        if u2 < w:
+            continue
+        KMat = np.zeros((band, band))
+        for u1 in range(1, ML - u2 + 1):
+            idx = np.arange(band - u1)
+            KMat[idx, idx + u1] = KInt[u1 + u2, u2]
+        H = jnp.einsum("cbe,et->cbt", stem_m, jnp.asarray(KMat, dtype),
+                       preferred_element_type=dtype)
+        Hs = _shift_cols(_shift_d(H, u2), u2)
+        srcR[u2] = srcR[u2] + jnp.sum(bse_m * Hs, axis=2)
+
+    # general interior, left side (per u1)
+    for u1 in range(1, ML + 1):
+        if u1 < w:
+            continue
+        KMat = np.zeros((band, band))
+        for u2 in range(1, ML - u1 + 1):
+            idx = np.arange(band - u2)
+            KMat[idx, idx + u2] = KInt[u1 + u2, u2]
+        G = jnp.einsum("cbe,et->cbt", D_sm, jnp.asarray(KMat, dtype),
+                       preferred_element_type=dtype)
+        Gs = _shift_cols(_shift_d(G, u1), -u1)
+        srcL[u1] = srcL[u1] + jnp.sum(D_bse_m * Gs, axis=2)
+
+    # bulges
+    for u in range(max(2, w), ML + 1):
+        srcL[u] = srcL[u] + jnp.sum(
+            D_bse_a * _shift_cols(_shift_d(D_sa, u), -u), axis=2) * \
+            dtype(Kb[u])
+        srcR[u] = srcR[u] + jnp.sum(
+            bse_a * _shift_cols(_shift_d(stem_a, u), u), axis=2) * \
+            dtype(Kb[u])
+
+    # small-loop specials spread only when their u reaches w (w <= 2)
+    specials = [(1, 0, pg.pb10), (0, 1, pg.pb01), (1, 1, pg.pb11),
+                (1, 2, pg.pb12), (2, 1, pg.pb21), (2, 2, pg.pb22)]
+    for u1, u2, wgrid in specials:
+        if u1 < w and u2 < w:
+            continue
+        cell = bse * wgrid * _shift_cols(_shift_d(stem, u1 + u2), u2)
+        if u2 >= w:
+            srcR[u2] = srcR[u2] + jnp.sum(cell, axis=2)
+        if u1 >= w:
+            srcL[u1] = srcL[u1] + jnp.sum(_diag_view(cell, band), axis=2)
+
+    def padx(a):
+        return jnp.pad(a, ((0, 1), (0, 0)))[:Np]
+
+    # boundaries: left x = i + u1 + 1 - w ; right x = jc + 1 - w
+    bnd_b = xarr()
+    for u in range(w, ML + 1):
+        bnd_b = bnd_b + padx(_shift_cols(srcL[u], u + 1 - w))
+    sumR = zrow
+    for u in range(w, ML + 1):
+        sumR = sumR + srcR[u]
+    bnd_b = bnd_b + padx(_shift_cols(sumR, -(w - 1)))
+
+    # conditional windows: left x = i + tshift (u1 >= tshift + w);
+    # right x = jc + 1 - tau (u2 >= tau, tau >= w + 1)
+    bi_c = xarr()
+    run = zrow
+    for tshift in range(ML - w, 0, -1):
+        run = run + srcL[tshift + w]
+        bi_c = bi_c + padx(_shift_cols(run, tshift))
+    runR = zrow
+    for tau in range(ML, w, -1):
+        runR = runR + srcR[tau]
+        bi_c = bi_c + padx(_shift_cols(runR, -(tau - 1)))
+
+    # Reference linear-branch semantics (raccess.cpp:667-680): the raw
+    # (unnormalized) sums are cast to float32 before the log, so values
+    # above f32-max collapse to fmath::log(inf) = 128*ln2 — i.e. the
+    # normalized probability is clamped at e^(88.72 - logZ). The reference
+    # also drops the conditional part when the raw boundary sum is exactly
+    # zero; the raw scale is not representable here, so the gate is
+    # approximated by "boundary underflows to 0" (deviations are limited to
+    # windows whose boundary weight is below ~e^-700 — validated to stay
+    # within ~0.05 kcal/mol of the exact engine).
+    clamp = jnp.exp(dtype(128.0 * np.float32(np.log(2.0))) -
+                    logZ[None, :]).astype(dtype)
+    bi_b = jnp.where(bnd_b > 0, jnp.minimum(bnd_b + bi_c, clamp), 0.0)
+    bi_c = jnp.minimum(bi_c, clamp)
+
+    return ext_w, ext_w1, hp_b, hp_c, bi_b, bi_c, mp_w, mp_w1
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _run_batch_impl(w_span: int, min_acc_len: int, n_max: int, dtype_name: str,
+                    s_padded: jax.Array, lengths: jax.Array):
+    dtype = jnp.dtype(dtype_name).type
+    band = w_span + 2
+    w = min_acc_len
+    B = s_padded.shape[0]
+
+    t = make_tables(w_span, dtype=jnp.dtype(dtype_name))
+    g = make_grids(t, s_padded, lengths, n_max, band, dtype)
+    ins = inside_pass(t, g, n_max, band, B, dtype)
+    stem, stem_m, stem_a, multi, multi1, multi2, A_cols = ins
+    A_full = A_cols  # [N+1, B]
+    logZ = jnp.take_along_axis(A_full, lengths[None, :], axis=0)[0]
+
+    B_full = b_outer_scan(stem, g.ext_dot, n_max, band, B, dtype, lengths)
+    og = make_outside_grids(t, s_padded, lengths, n_max, band, dtype, g,
+                            multi2, A_full, B_full, logZ)
+    outs = outside_pass(t, og, multi1, n_max, band, B, dtype)
+
+    pg = make_prob_grids(t, s_padded, n_max, band, dtype)
+    (ext_w, ext_w1, hp_b, hp_c, bi_b, bi_c, mp_w, mp_w1) = probability_pass(
+        t, g, pg, ins, outs, A_full, B_full, logZ, w, n_max, band, dtype)
+
+    kT = dtype(t.kT)
+    p_w = ext_w + hp_b + bi_b + mp_w          # [N+2, B], row = window start x
+    p_w1 = ext_w1 + hp_c + bi_c + mp_w1
+
+    xs = jnp.arange(n_max + 2)[:, None]
+    nvec = lengths[None, :]
+    val_w = (xs >= 1) & (xs + w - 1 <= nvec)
+    val_w1 = (xs >= 1) & (xs + w <= nvec)
+
+    logp_w = jnp.log(jnp.maximum(p_w, jnp.finfo(jnp.float32).tiny)
+                     .astype(jnp.float32))
+    logp_w1 = jnp.log(jnp.maximum(p_w1, jnp.finfo(jnp.float32).tiny)
+                      .astype(jnp.float32))
+    acc_x = jnp.where(val_w, (-logp_w * jnp.float32(kT)) / 1000, 0.0)
+    cond_x = jnp.where(
+        val_w1, (-logp_w1 * jnp.float32(kT)) / 1000 - acc_x, 0.0)
+
+    # acc[x-1] = acc_x[x]; cond[x+w-1] = cond_x[x]
+    acc = jnp.transpose(acc_x[1 : n_max + 1])            # [B, N]
+    cond = jnp.transpose(
+        jnp.pad(cond_x, ((0, w), (0, 0)))[1 + w - 2 * 0:, :])  # fixed below
+    cond = jnp.transpose(
+        _shift_cols(cond_x, w)[1 : n_max + 1])
+    return acc.astype(jnp.float32), cond.astype(jnp.float32)
+
+
+class BatchedRaccess:
+    """Public entry: accessibility for batches of equal-padded sequences."""
+
+    def __init__(self, w_span: int, min_acc_len: int, dtype="float32"):
+        self.w = w_span
+        self.d = min_acc_len
+        self.dtype = dtype
+
+    def run(self, codes_batch: np.ndarray, lengths: np.ndarray):
+        """codes_batch: [B, n_max] uint8 (0..4, zero padded);
+        lengths: [B] int. Returns (acc, cond) float32 [B, n_max] with the
+        same layout as the exact engine (acc valid [0, n-d], cond valid
+        [d, n-1])."""
+        B, n_max = codes_batch.shape
+        s = np.zeros((B, n_max + ML + 4), dtype=np.int32)
+        s[:, 1 : n_max + 1] = codes_batch
+        acc, cond = _run_batch_impl(self.w, self.d, n_max, self.dtype,
+                                    jnp.asarray(s),
+                                    jnp.asarray(lengths, dtype=jnp.int32))
+        return np.asarray(acc), np.asarray(cond)

@@ -603,6 +603,9 @@ class LinearRaccess:
         bi_b = np.zeros(n + 2)
         bi_c = np.zeros(n + 3)
         dif_c = np.zeros(n + 4)
+        logZ = A[n]
+        zb_half = np.exp(min(logZ, 700.0) / 2)
+        zboost = zb_half * zb_half
         for u1 in range(0, ML + 1):
             for u2 in range(0, ML + 1):
                 if u1 + u2 > ML or (u1 == 0 and u2 == 0):
@@ -621,24 +624,51 @@ class LinearRaccess:
                     wgt = self._biloop_weight(s, tcl, iv, js, u1, u2, q_, espan,
                                               stem, stem_mism, stem_au)
                     contrib = b_stemend[js - 1, e - 1] * wgt
+                    # bi_b is accumulated at the reference's RAW scale
+                    # (boost by Z) so its nonzero test matches exactly;
+                    # unboosted when assembling the probability.
+                    contrib_raw = (b_stemend[js - 1, e - 1] * zb_half) * \
+                        (wgt * zb_half)
+                    # the reference's expd clamps each term below e^-708.39
+                    # to exactly zero (fmath.hpp:438-440) — replicate the
+                    # per-term cliff so the boundary nonzero-gate matches
+                    contrib_raw = np.where(
+                        contrib_raw >= 2.43e-308, contrib_raw, 0.0)
                     # left spread: k in [i+1, p-w] = [i+1, i+u1+1-w]
                     if u1 + 1 - w >= 1:
-                        np.add.at(bi_b, iv + u1 + 1 - w, contrib)
+                        np.add.at(bi_b, iv + u1 + 1 - w, contrib_raw)
                         if u1 + 1 - w >= 2:
                             np.add.at(dif_c, iv + 1, contrib)
                             np.add.at(dif_c, iv + u1 + 1 - w, -contrib)
                     # right spread: k in [q+1, j-w] = [j-u2, j-w]
                     if u2 + 1 - w >= 1:
-                        np.add.at(bi_b, js - w, contrib)
+                        np.add.at(bi_b, js - w, contrib_raw)
                         if u2 + 1 - w >= 2:
                             np.add.at(dif_c, js - u2, contrib)
                             np.add.at(dif_c, js - w, -contrib)
         bi_c[: n + 2] = np.cumsum(dif_c)[: n + 2]
-        # the reference's linear-space accumulation only folds the
+        # The reference's linear-space accumulation only folds the
         # conditional part into the total when the boundary sum is nonzero
-        # (raccess.cpp:667-672)
-        biloop_b = np.where(bi_b != 0.0, bi_b + bi_c[: n + 2], 0.0)
-        biloop_c = bi_c[: n + 2]
+        # (raccess.cpp:667-672). Its sums are raw (unnormalized) expd values,
+        # whose smallest nonzero magnitude is ~e^-708.4; in our Z-normalized
+        # space that zero test translates to a threshold e^(-708.4 - logZ).
+        # bi_b holds raw-scale sums; the smallest nonzero expd in the
+        # reference is ~e^-708.39, so test against that and unboost.
+        # The reference then casts the raw sums to float32 before taking the
+        # log (raccess.cpp:669-676); raw sums above f32-max saturate to inf
+        # and fmath::log(inf) = 128*ln2f ~ 88.72, so the probability is
+        # clamped at e^(88.72 - logZ). Replicated for both arrays. (For
+        # |logZ| > 690 the reference takes its log-space branch, which joins
+        # unconditionally and has no cast — no gate, no clamp.)
+        if -690 <= logZ <= 690:
+            clamp = np.exp(np.float64(128.0 * np.float32(np.log(2.0))) - logZ)
+            gate = bi_b > np.exp(-708.0)
+            biloop_b = np.where(
+                gate, np.minimum(bi_b / zboost + bi_c[: n + 2], clamp), 0.0)
+            biloop_c = np.minimum(bi_c[: n + 2], clamp)
+        else:
+            biloop_b = bi_b / zboost + bi_c[: n + 2]
+            biloop_c = bi_c[: n + 2]
 
         return (ext_w, ext_w1, hairpin_b, hairpin_c, biloop_b, biloop_c,
                 mp_w, mp_w1)
