@@ -1,0 +1,62 @@
+"""TPU path of the db step: batched accessibility over length buckets.
+
+Sequences are sorted by length (descending — guided LPT like the reference's
+scheduling, src/utils.cpp:56-63), grouped into fixed-size batches, and each
+batch is padded to a bucketed maximum length (geometric steps bound the
+number of jit specializations). This is the TPU-native replacement for the
+reference's heap/area-sum/dynamic work distribution: static balanced padded
+batches instead of a work-stealing counter (SURVEY §2 'parallelism
+strategies')."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from priblast_tpu.utils import alphabet
+
+
+def bucket_length(n: int, quantum: int = 64) -> int:
+    """Round a length up to a bucket boundary: multiples of `quantum` below
+    1024, then 12.5% geometric steps — bounds jit recompilations."""
+    if n <= 1024:
+        return max(quantum, (n + quantum - 1) // quantum * quantum)
+    b = 1024
+    while b < n:
+        b = (b * 9 + 7) // 8
+    return b
+
+
+def plan_batches(lengths: list[int], batch_size: int):
+    """Yield (indices, padded_len) batches from descending-length order."""
+    order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
+    for k in range(0, len(order), batch_size):
+        group = order[k : k + batch_size]
+        yield group, bucket_length(lengths[group[0]])
+
+
+def compute_accessibilities(seqs: list[str], w: int, d: int,
+                            batch_size: int = 32, dtype: str = "float32"):
+    """Per-sequence accessibility via the batched TPU engine. Returns lists
+    (accs, conds) in the original sequence order, matching the exact
+    engine's layout."""
+    from priblast_tpu.accessibility.batched import BatchedRaccess
+
+    engine = BatchedRaccess(w, d, dtype=dtype)
+    n = len(seqs)
+    accs: list[np.ndarray | None] = [None] * n
+    conds: list[np.ndarray | None] = [None] * n
+    lengths = [len(s) for s in seqs]
+
+    for group, padded in plan_batches(lengths, batch_size):
+        bsz = len(group)
+        codes = np.zeros((bsz, padded), np.uint8)
+        lens = np.zeros(bsz, np.int32)
+        for bi, idx in enumerate(group):
+            codes[bi, : lengths[idx]] = alphabet.access_codes(seqs[idx])
+            lens[bi] = lengths[idx]
+        acc, cond = engine.run(codes, lens)
+        for bi, idx in enumerate(group):
+            ln = lengths[idx]
+            accs[idx] = acc[bi, : max(ln - d + 1, 0)].copy()
+            conds[idx] = cond[bi, :ln].copy()
+    return accs, conds

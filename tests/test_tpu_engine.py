@@ -1,0 +1,82 @@
+"""Batched (TPU-architecture) engine vs the exact engine, on the CPU
+backend. f64 must agree to fmath-approximation noise; f32 to ~1e-3."""
+
+import numpy as np
+import pytest
+
+from priblast_tpu.ops import native
+from priblast_tpu.utils import alphabet, fasta
+
+
+@pytest.fixture(scope="module")
+def tiny_batch(data_dir):
+    names, seqs = fasta.read_fasta(data_dir / "tiny_db.fa")
+    seqs = seqs[:4]
+    n_max = max(len(s) for s in seqs)
+    codes = np.zeros((len(seqs), n_max), np.uint8)
+    lens = np.array([len(s) for s in seqs], np.int32)
+    for i, s in enumerate(seqs):
+        codes[i, : len(s)] = alphabet.access_codes(s)
+    exact = [native.raccess(alphabet.access_codes(s), 70, 5) for s in seqs]
+    return seqs, codes, lens, exact
+
+
+@pytest.mark.parametrize("dtype,tol", [("float64", 1e-4), ("float32", 2e-3)])
+def test_batched_matches_exact(tiny_batch, dtype, tol):
+    from priblast_tpu.accessibility.batched import BatchedRaccess
+
+    seqs, codes, lens, exact = tiny_batch
+    acc, cond = BatchedRaccess(70, 5, dtype=dtype).run(codes, lens)
+    for i, s in enumerate(seqs):
+        ra, rc = exact[i]
+        assert np.abs(acc[i, : len(s)] - ra).max() < tol
+        assert np.abs(cond[i, : len(s)] - rc).max() < tol
+
+
+def test_linear_ref_matches_exact(data_dir):
+    from priblast_tpu.accessibility.linear_ref import LinearRaccess
+
+    names, seqs = fasta.read_fasta(data_dir / "tiny_db.fa")
+    lr = LinearRaccess(70, 5)
+    for s in seqs[:3]:
+        codes = alphabet.access_codes(s)
+        ra, rc = native.raccess(codes, 70, 5)
+        a, c = lr.run(codes)
+        assert np.abs(a - ra).max() < 1e-4
+        assert np.abs(c - rc).max() < 1e-4
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_db_tpu_engine_end_to_end(tmp_path, data_dir, golden_dir):
+    """db step with --engine tpu: .seq/.ind/.nam/.bas must still be
+    byte-identical (accessibility-independent); .acc within tolerance."""
+    import filecmp
+
+    from priblast_tpu.models import db as db_model
+    from priblast_tpu.utils.params import DbParams
+
+    db_name = str(tmp_path / "tiny_db")
+    db_model.run(DbParams(input=str(data_dir / "tiny_db.fa"), db_name=db_name,
+                          algorithm="block", engine="tpu"))
+    for ext in ("bas", "seq", "ind", "nam"):
+        assert filecmp.cmp(f"{golden_dir}/tiny/tiny_db.{ext}",
+                           f"{db_name}.{ext}", shallow=False)
+    def parse_acc(path, n_seqs):
+        raw = open(path, "rb").read()
+        off, out = 0, []
+        for _ in range(2 * n_seqs):
+            c = int(np.frombuffer(raw, np.int32, 1, off)[0]); off += 4
+            out.append(np.frombuffer(raw, np.float32, c, off)); off += 4 * c
+        assert off == len(raw)
+        return out
+
+    golden = parse_acc(f"{golden_dir}/tiny/tiny_db.acc", 8)
+    mine = parse_acc(f"{db_name}.acc", 8)
+    for ga, ma in zip(golden, mine):
+        assert len(ga) == len(ma)
+        assert np.abs(ga - ma).max() < 2e-3
