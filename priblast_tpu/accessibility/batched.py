@@ -118,6 +118,28 @@ def _shift_d(x: jax.Array, r: int) -> jax.Array:
     return jnp.pad(x, pad)[..., -r:]
 
 
+
+def _skew_fwd(x: jax.Array) -> jax.Array:
+    """[B, U, D] -> out[b, u, d] = x[b, u, d - u] (zero fill), via the
+    pad+reshape skew trick (pure layout ops — no per-u shifts)."""
+    B, U, D = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, U)))
+    flat = xp.reshape(B, U * (D + U))
+    out = flat[:, : U * (D + U - 1)].reshape(B, U, D + U - 1)
+    return out[:, :, :D]
+
+
+def _skew_rev(x: jax.Array) -> jax.Array:
+    """[B, U, D] -> out[b, u, d] = x[b, u, d + u] (zero fill)."""
+    U = x.shape[1]
+    D = x.shape[2]
+    y = x[:, ::-1, :]
+    yp = jnp.pad(y, ((0, 0), (0, 0), (0, U)))
+    flat = yp.reshape(x.shape[0], U * (D + U))
+    z = flat[:, : U * (D + U - 1)].reshape(x.shape[0], U, D + U - 1)
+    return z[:, ::-1, U - 1 : U - 1 + D]
+
+
 class Grids(NamedTuple):
     """Per-column weight grids, all [N+1, B, band] (leading axis = column j,
     consumed by lax.scan)."""
@@ -273,9 +295,9 @@ def inside_pass(t: Tables, g: Grids, n_max: int, band: int, B: int, dtype):
 
         # multibif: sum_u multi1[j-u][d-u] * multi2[j][u]
         m1w = c["m1w"]  # [B, W+1, band]; index u-1 = column j-u
-        mb = jnp.zeros_like(multi2)
-        for u in range(1, W + 1):
-            mb = mb + _shift_d(m1w[:, u - 1, :], u) * multi2[:, u][:, None]
+        m1x = _shift_d(_skew_fwd(m1w), 1)  # [b, u-1, d] = m1w[u-1][d-u]
+        mb = jnp.einsum("bud,bu->bd", m1x[:, : W, :], multi2[:, 1 : W + 1],
+                        preferred_element_type=dtype)
         multi1 = multi2 + mb
 
         # multi: triangular decay matmul over spans
@@ -290,16 +312,14 @@ def inside_pass(t: Tables, g: Grids, n_max: int, band: int, B: int, dtype):
         # general interior: G[b, r, d] = sum_u2 smw[b, u2, d] * K2[r, u2]
         G = jnp.einsum("bud,ru->brd", smw_full, t.K2,
                        preferred_element_type=dtype)
-        gen = jnp.zeros_like(stem)
-        for r in range(2, ML + 1):
-            gen = gen + _shift_d(G[:, r, :], r)
+        gen = jnp.sum(_skew_fwd(G), axis=1)  # K2 rows 0..1 are zero
         se = hpW + gen * mism_out
 
         # bulges: same-column (u1-side) via banded matmul; window (u2-side)
         bul = jnp.einsum("bt,td->bd", stem_a, t.KbMat,
                          preferred_element_type=dtype)
-        for u in range(2, ML + 1):
-            bul = bul + _shift_d(saw_full[:, u, :], u) * t.Kb[u]
+        bul = bul + jnp.einsum("bud,u->bd", _skew_fwd(saw_full), t.Kb,
+                               preferred_element_type=dtype)
         se = se + bul * au_out
 
         # small-loop specials (cells: (1,0)=cur col d-1, (0,1)=prev d-1,
@@ -549,10 +569,9 @@ def outside_pass(t: Tables, og: OutsideGrids, multi1_full: jax.Array,
 
         # multi1: sum_t bmb[q+t][t+d] * multi2[q+t][t]
         bmbw = c["bmbw"]  # [B, W+1, band]; index t-1 = col q+t
-        bm1 = jnp.zeros_like(bse)
-        for tshift in range(1, W + 1):
-            bm1 = bm1 + (_shift_d(bmbw[:, tshift - 1, :], -tshift) *
-                         m2diag[:, tshift][:, None])
+        bmbx = _shift_d(_skew_rev(bmbw), -1)  # [b, t-1, d] = bmbw[t-1][d+t]
+        bm1 = jnp.einsum("btd,bt->bd", bmbx[:, : W, :], m2diag[:, 1 : W + 1],
+                         preferred_element_type=dtype)
         bm1 = jnp.where(valid_int, bm1, 0.0)
 
         bmb = bm1 + bmulti  # b_multibif
@@ -568,8 +587,11 @@ def outside_pass(t: Tables, og: OutsideGrids, multi1_full: jax.Array,
         bmb_masked = bmb * jnp.asarray(
             np.concatenate([np.ones(band - 1), [0.0]]), dtype)[None, :]
         bm2 = bm1 + _shift_d(c["bmulti2_next"], -1) * decay
-        for f in range(1, W + 1):
-            bm2 = bm2 + _shift_d(bmb_masked, -f) * M1COLS[:, :, f]
+        bmb_t = jnp.broadcast_to(bmb_masked[:, None, :], (B, W, band))
+        bmb_sh = _shift_d(_skew_rev(bmb_t), -1)  # [b, f-1, d] = bmb[d+f]
+        bm2 = bm2 + jnp.einsum("bfd,bdf->bd", bmb_sh,
+                               M1COLS[:, :, 1 : W + 1],
+                               preferred_element_type=dtype)
         bm2 = jnp.where(valid_int, bm2, 0.0)
 
         # stem
@@ -581,15 +603,13 @@ def outside_pass(t: Tables, og: OutsideGrids, multi1_full: jax.Array,
                                    axis=1)
         Gp = jnp.einsum("bud,ru->brd", bsew_cur, t.K2,
                         preferred_element_type=dtype)
-        gen = jnp.zeros_like(bse)
-        for r in range(2, ML + 1):
-            gen = gen + _shift_d(Gp[:, r, :], -r)
+        gen = jnp.sum(_skew_rev(Gp), axis=1)
         out = out + gen * mism_out2
 
         bul = jnp.einsum("be,ed->bd", bse_a, KbMatU,
                          preferred_element_type=dtype)
-        for u in range(2, ML + 1):
-            bul = bul + _shift_d(bsaw_cur[:, u, :], -u) * t.Kb[u]
+        bul = bul + jnp.einsum("bud,u->bd", _skew_rev(bsaw_cur), t.Kb,
+                               preferred_element_type=dtype)
         out = out + bul * au_out2
 
         # specials: bse cells (v1, v2) at col q+v2, span d+v1+v2

@@ -52,11 +52,18 @@ def compute_accessibilities_exact(seqs: list[str], w: int, d: int,
     return accs, conds
 
 
+def resolve_engine(engine: str) -> str:
+    """auto -> exact (byte parity); the TPU engine is opt-in (--engine tpu)
+    since its f32 accessibility deviates from the reference by ~1e-4
+    kcal/mol, which can flip borderline hits."""
+    return "exact" if engine == "auto" else engine
+
+
 def run(p: DbParams) -> None:
     p.validate()
     names, seqs = fasta.read_fasta(p.input)
 
-    if p.engine == "tpu":
+    if resolve_engine(p.engine) == "tpu":
         from priblast_tpu.models import db_tpu
 
         accs, conds = db_tpu.compute_accessibilities(

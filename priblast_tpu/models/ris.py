@@ -96,7 +96,9 @@ def run(p: RisParams, threads: int | None = None) -> None:
     threads = threads or min(32, os.cpu_count() or 1)
     results: list[list[str] | None] = [None] * len(seqs)
 
-    if p.engine == "tpu":
+    from priblast_tpu.models.db import resolve_engine
+
+    if resolve_engine(p.engine) == "tpu":
         from priblast_tpu.models import ris_tpu
 
         ris_tpu.run_queries(p, chunks, names, seqs, order, results)
