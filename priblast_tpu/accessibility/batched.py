@@ -259,6 +259,47 @@ def make_grids(t: Tables, s: jax.Array, lengths: jax.Array, n_max: int,
     )
 
 
+
+_SCAN_BLOCK = 8
+
+
+def _blocked_scan(col_step, carry0, xs, n_cols, reverse: bool):
+    """Run a per-column scan body over blocks of _SCAN_BLOCK columns per
+    lax.scan step: the per-step HBM slices of the (many, small) stacked
+    inputs/outputs are K times larger, amortizing DMA latency. Semantics
+    are identical to lax.scan(col_step, carry0, xs)."""
+    K = _SCAN_BLOCK
+    n_blocks = (n_cols + K - 1) // K
+    padded = n_blocks * K
+
+    def pad_x(x):
+        pad = [(0, padded - n_cols)] + [(0, 0)] * (x.ndim - 1)
+        xp = jnp.pad(x, pad)
+        return xp.reshape((n_blocks, K) + x.shape[1:])
+
+    xsb = jax.tree.map(pad_x, xs)
+
+    def block_step(c, xb):
+        ys_k = []
+        order = range(K - 1, -1, -1) if reverse else range(K)
+        slot = {}
+        for k in order:
+            xk = jax.tree.map(lambda a: a[k], xb)
+            c, y = col_step(c, xk)
+            slot[k] = y
+        ys = jax.tree.map(lambda *a: jnp.stack(a, axis=0),
+                          *[slot[k] for k in range(K)])
+        return c, ys
+
+    carry, ysb = lax.scan(block_step, carry0, xsb, reverse=reverse)
+
+    def unpad_y(y):
+        flat = y.reshape((padded,) + y.shape[2:])
+        return flat[:n_cols]
+
+    return carry, jax.tree.map(unpad_y, ysb)
+
+
 def inside_pass(t: Tables, g: Grids, n_max: int, band: int, B: int, dtype):
     """Column scan of the inside recurrences. Returns stacked per-column
     state [N+1, B, band] for stem, stem_mism, stem_au, multi, multi1,
@@ -360,7 +401,7 @@ def inside_pass(t: Tables, g: Grids, n_max: int, band: int, B: int, dtype):
 
     carry0["stem_prev2"] = zcol
     xs = tuple(g)
-    _, ys = lax.scan(step, carry0, xs)
+    _, ys = _blocked_scan(step, carry0, xs, n_max + 1, reverse=False)
     return ys  # each [N+1, B, ...]
 
 
@@ -544,7 +585,11 @@ def outside_pass(t: Tables, og: OutsideGrids, multi1_full: jax.Array,
         bse_raw=jnp.zeros((B, 3, band), dtype),      # raw bse cols q+1, q+2
         bmbw=jnp.zeros((B, W + 1, band), dtype),     # b_multibif cols q+1..q+W+1
         bmulti2_next=zcol,
-        qidx=jnp.asarray(n_max, jnp.int32),
+        # the blocked reverse scan visits the padded tail columns first;
+        # qidx must start at the padded last column so real columns align
+        qidx=jnp.asarray(
+            ((n_max + 1 + _SCAN_BLOCK - 1) // _SCAN_BLOCK) * _SCAN_BLOCK - 1,
+            jnp.int32),
     )
 
     def step(c, x):
@@ -642,7 +687,7 @@ def outside_pass(t: Tables, og: OutsideGrids, multi1_full: jax.Array,
         return new_c, ys
 
     xs = tuple(og)
-    _, ys = lax.scan(step, carry0, xs, reverse=True)
+    _, ys = _blocked_scan(step, carry0, xs, n_max + 1, reverse=True)
     return ys
 
 
