@@ -943,8 +943,9 @@ def probability_pass(t: Tables, g: Grids, pg: ProbGrids, ins, outs,
     return ext_w, ext_w1, hp_b, hp_c, bi_b, bi_c, mp_w, mp_w1
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _run_batch_impl(w_span: int, min_acc_len: int, n_max: int, dtype_name: str,
+                    use_pallas: bool,
                     s_padded: jax.Array, lengths: jax.Array):
     dtype = jnp.dtype(dtype_name).type
     band = w_span + 2
@@ -953,15 +954,26 @@ def _run_batch_impl(w_span: int, min_acc_len: int, n_max: int, dtype_name: str,
 
     t = make_tables(w_span, dtype=jnp.dtype(dtype_name))
     g = make_grids(t, s_padded, lengths, n_max, band, dtype)
-    ins = inside_pass(t, g, n_max, band, B, dtype)
+    if use_pallas:
+        from priblast_tpu.accessibility import pallas_kernels as pk
+
+        ins = pk.inside_pass_pallas(n_max, band, dtype_name, g, t)
+    else:
+        ins = inside_pass(t, g, n_max, band, B, dtype)
     stem, stem_m, stem_a, multi, multi1, multi2, A_cols = ins
     A_full = A_cols  # [N+1, B]
     logZ = jnp.take_along_axis(A_full, lengths[None, :], axis=0)[0]
 
-    B_full = b_outer_scan(stem, g.ext_dot, n_max, band, B, dtype, lengths)
+    if use_pallas:
+        B_full = pk.b_outer_scan_pallas(stem, g.ext_dot, n_max, band, lengths)
+    else:
+        B_full = b_outer_scan(stem, g.ext_dot, n_max, band, B, dtype, lengths)
     og = make_outside_grids(t, s_padded, lengths, n_max, band, dtype, g,
                             multi2, A_full, B_full, logZ)
-    outs = outside_pass(t, og, multi1, n_max, band, B, dtype)
+    if use_pallas:
+        outs = pk.outside_pass_pallas(n_max, band, og, multi1, t)
+    else:
+        outs = outside_pass(t, og, multi1, n_max, band, B, dtype)
 
     pg = make_prob_grids(t, s_padded, n_max, band, dtype)
     (ext_w, ext_w1, hp_b, hp_c, bi_b, bi_c, mp_w, mp_w1) = probability_pass(
@@ -993,13 +1005,27 @@ def _run_batch_impl(w_span: int, min_acc_len: int, n_max: int, dtype_name: str,
     return acc.astype(jnp.float32), cond.astype(jnp.float32)
 
 
+def _default_use_pallas() -> bool:
+    import os
+
+    env = os.environ.get("PRIBLAST_USE_PALLAS", "")
+    if env != "":
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
 class BatchedRaccess:
     """Public entry: accessibility for batches of equal-padded sequences."""
 
-    def __init__(self, w_span: int, min_acc_len: int, dtype="float32"):
+    def __init__(self, w_span: int, min_acc_len: int, dtype="float32",
+                 use_pallas: bool | None = None):
         self.w = w_span
         self.d = min_acc_len
         self.dtype = dtype
+        self.use_pallas = (_default_use_pallas() if use_pallas is None
+                           else use_pallas)
+        if self.use_pallas and dtype != "float32":
+            self.use_pallas = False  # pallas path is f32-only
 
     def run(self, codes_batch: np.ndarray, lengths: np.ndarray):
         """codes_batch: [B, n_max] uint8 (0..4, zero padded);
@@ -1010,6 +1036,6 @@ class BatchedRaccess:
         s = np.zeros((B, n_max + ML + 4), dtype=np.int32)
         s[:, 1 : n_max + 1] = codes_batch
         acc, cond = _run_batch_impl(self.w, self.d, n_max, self.dtype,
-                                    jnp.asarray(s),
+                                    self.use_pallas, jnp.asarray(s),
                                     jnp.asarray(lengths, dtype=jnp.int32))
         return np.asarray(acc), np.asarray(cond)

@@ -24,6 +24,7 @@ import numpy as np
 
 from priblast_tpu.ops import native
 from priblast_tpu.utils import alphabet, fasta, store
+from priblast_tpu.utils import profiling as prof
 from priblast_tpu.utils.params import DbParams
 
 
@@ -63,15 +64,17 @@ def run(p: DbParams) -> None:
     p.validate()
     names, seqs = fasta.read_fasta(p.input)
 
-    if resolve_engine(p.engine) == "tpu":
-        from priblast_tpu.models import db_tpu
+    with prof.stage("db.accessibility"):
+        if resolve_engine(p.engine) == "tpu":
+            from priblast_tpu.models import db_tpu
 
-        accs, conds = db_tpu.compute_accessibilities(
-            seqs, p.maximal_span, p.min_accessible_length)
-    else:
-        accs, conds = compute_accessibilities_exact(
-            seqs, p.maximal_span, p.min_accessible_length)
+            accs, conds = db_tpu.compute_accessibilities(
+                seqs, p.maximal_span, p.min_accessible_length)
+        else:
+            accs, conds = compute_accessibilities_exact(
+                seqs, p.maximal_span, p.min_accessible_length)
 
+    prof.maybe_report()
     encoded_each = [alphabet.encode_db([s], p.repeat_flag) for s in seqs]
     sizes = np.array([len(s) for s in seqs], dtype=np.int32)
 

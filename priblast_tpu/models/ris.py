@@ -18,6 +18,7 @@ import numpy as np
 
 from priblast_tpu.ops import native
 from priblast_tpu.utils import alphabet, fasta, store
+from priblast_tpu.utils import profiling as prof
 from priblast_tpu.utils.params import RisParams
 
 
@@ -112,6 +113,7 @@ def run(p: RisParams, threads: int | None = None) -> None:
         for i in order:
             results[i] = search_query(p, chunks, names[i], seqs[i])
 
+    prof.maybe_report()
     with open(p.output, "w") as f:
         f.write(header(p))
         count = 0

@@ -52,7 +52,7 @@ def sharded_accessibility_step(mesh: Mesh, w_span: int, min_acc_len: int,
                        out_shardings=(in_sh, in_sh, rep))
     def step(s_padded, lengths):
         acc, cond = _run_batch_impl(w_span, min_acc_len, n_max, dtype,
-                                    s_padded, lengths)
+                                    False, s_padded, lengths)
         # cross-shard merge: global mean accessibility (rides ICI)
         total = jnp.sum(acc) / jnp.maximum(jnp.sum(lengths), 1)
         return acc, cond, total
