@@ -162,6 +162,73 @@ class Grids(NamedTuple):
     ext_dot: jax.Array    # sigma^d * dangle_ij  (exterior scan weight)
 
 
+
+# ---------------------------------------------------------------------------
+# Gather-free grid construction helpers. Table gathers of [N*B*band]-sized
+# index arrays dominate the runtime on TPU (~25ns/element); instead:
+#  - sequence "diagonal" arrays s[j - d + c] are built with the pad+reshape
+#    skew trick (pure layout ops);
+#  - 2-index tables go through one-hot einsum chains (VPU FMAs);
+#  - deeper tables use a single packed-index take (one gather instead of
+#    one per index dimension).
+# ---------------------------------------------------------------------------
+
+
+def _seq_diag(s: jax.Array, n_max: int, band: int, c: int) -> jax.Array:
+    """OUT[j, b, d] = s[b, j - d + c] (clamped reads resolve to 0)."""
+    B = s.shape[0]
+    pad0 = band + 4
+    L = pad0 + s.shape[1] + 8
+    sp = jnp.zeros((B, L), s.dtype)
+    sp = jax.lax.dynamic_update_slice(sp, s, (0, pad0))
+    tiled = jnp.broadcast_to(sp[:, None, :], (B, band, L))
+    skew = jnp.pad(tiled, ((0, 0), (0, 0), (0, band)))
+    flat = skew.reshape(B, band * (L + band))
+    sk = flat[:, : band * (L + band - 1)].reshape(B, band, L + band - 1)
+    # sk[b, d, t] = tiled[b, d, t - d] = sp[b, t - d]; want t = j + c + pad0
+    out = jax.lax.dynamic_slice(
+        sk, (0, 0, pad0 + c), (B, band, n_max + 1))
+    return jnp.transpose(out, (2, 0, 1))
+
+
+def _seq_col(s: jax.Array, n_max: int, band: int, c: int) -> jax.Array:
+    """OUT[j, b, d] = s[b, j + c] (broadcast along d)."""
+    B = s.shape[0]
+    pad0 = 8
+    L = pad0 + s.shape[1] + 8
+    sp = jnp.zeros((B, L), s.dtype)
+    sp = jax.lax.dynamic_update_slice(sp, s, (0, pad0))
+    col = jax.lax.dynamic_slice(sp, (0, pad0 + c), (B, n_max + 1))
+    return jnp.broadcast_to(jnp.transpose(col)[:, :, None],
+                            (n_max + 1, B, band))
+
+
+def _onehot5(x: jax.Array) -> jax.Array:
+    return (x[..., None] == jnp.arange(5, dtype=x.dtype)).astype(jnp.float32)
+
+
+def _pair_onehot(oh_a: jax.Array, oh_b: jax.Array, pair_tab: np.ndarray,
+                 n_out: int) -> jax.Array:
+    """one-hot of pair_tab[a, b] (5x5 int table with values < n_out)."""
+    tab = np.zeros((5, 5, n_out), np.float32)
+    for a in range(5):
+        for b in range(5):
+            tab[a, b, pair_tab[a, b]] = 1.0
+    tmp = jnp.einsum("...b,abt->...at", oh_b, jnp.asarray(tab))
+    return jnp.einsum("...a,...at->...t", oh_a, tmp)
+
+
+def _lut2(tab: np.ndarray, oh_1: jax.Array, oh_2: jax.Array) -> jax.Array:
+    """tab[i1, i2] looked up through one-hot chains."""
+    t = jnp.asarray(np.asarray(tab, np.float32))
+    tmp = jnp.einsum("...q,pq->...p", oh_2, t)
+    return jnp.einsum("...p,...p->...", oh_1, tmp)
+
+
+def _packed_take(tab_flat: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take(tab_flat, idx, axis=0)
+
+
 def _gather_s(s: jax.Array, idx: jax.Array) -> jax.Array:
     """s: [B, L] padded codes (s[:,0]=0); idx: [N+1, band] (may be out of
     range — clamped; pads are 0 = unknown)."""
@@ -171,91 +238,127 @@ def _gather_s(s: jax.Array, idx: jax.Array) -> jax.Array:
 
 def make_grids(t: Tables, s: jax.Array, lengths: jax.Array, n_max: int,
                band: int, dtype) -> Grids:
-    """Build all weight grids. s: [B, n_max + ML + 4] int32 1-based padded
-    codes; lengths: [B] int32."""
+    """Build all weight grids, gather-free where possible. s: [B, n_max +
+    ML + 4] int32 1-based padded codes; lengths: [B] int32."""
     B = s.shape[0]
-    jj = np.arange(n_max + 1)[:, None]           # [N+1, 1]
-    dd = np.arange(band)[None, :]                # [1, band]
-    iv = jj - dd                                 # i = j - d
+    lm = _linmodel(band - 2)
+    r5 = np.arange(5)
 
-    def S(off_i=None, off_j=None, const=None):
-        if const is not None:
-            idx = np.broadcast_to(const, (n_max + 1, band))
-        elif off_j is not None:
-            idx = np.broadcast_to(jj + off_j, (n_max + 1, band))
-        else:
-            idx = iv + off_i
-        return jnp.transpose(_gather_s(s, jnp.asarray(idx)), (1, 0, 2))
+    # sequence char arrays (skew broadcasts, no gathers)
+    s_i = _seq_diag(s, n_max, band, 0)
+    s_i1 = _seq_diag(s, n_max, band, 1)
+    s_i2 = _seq_diag(s, n_max, band, 2)
+    s_i3 = _seq_diag(s, n_max, band, 3)
+    s_j = _seq_col(s, n_max, band, 0)
+    s_jm1 = _seq_col(s, n_max, band, -1)
+    s_jm2 = _seq_col(s, n_max, band, -2)
+    s_jp1 = _seq_col(s, n_max, band, 1)
 
-    s_i = S(off_i=0)        # [N+1, B, band]
-    s_i1 = S(off_i=1)
-    s_i2 = S(off_i=2)
-    s_i3 = S(off_i=3)
-    s_j = S(off_j=0)
-    s_jm1 = S(off_j=-1)
-    s_jm2 = S(off_j=-2)
-    s_jp1 = S(off_j=1)
+    oh_i = _onehot5(s_i)
+    oh_i1 = _onehot5(s_i1)
+    oh_i2 = _onehot5(s_i2)
+    oh_j = _onehot5(s_j)
+    oh_jm1 = _onehot5(s_jm1)
+    oh_jp1 = _onehot5(s_jp1)
 
-    bp, rt = t.bp, t.rtype
-    T1 = bp[s_i1, s_j]
-    T1r = rt[T1]
-    T2r = rt[bp[s_i2, s_jm1]]
-    TC = bp[s_i, s_jp1]
-    TCr = rt[TC]
+    bp_np = np.asarray(lm.bp)
+    rtbp_np = np.asarray(lm.rtype)[bp_np]
 
+    ohT1 = _pair_onehot(oh_i1, oh_j, bp_np, 7)
+    ohT1r = _pair_onehot(oh_i1, oh_j, rtbp_np, 7)
+    ohT2r = _pair_onehot(oh_i2, oh_jm1, rtbp_np, 7)
+    ohTC = _pair_onehot(oh_i, oh_jp1, bp_np, 7)
+    ohTCr = _pair_onehot(oh_i, oh_jp1, rtbp_np, 7)
+
+    def lut1(tab, oh):
+        return jnp.einsum("...p,p->...", oh,
+                          jnp.asarray(np.asarray(tab, np.float32)))
+
+    def toint(oh):
+        return lut1(np.arange(oh.shape[-1]), oh).astype(jnp.int32)
+
+    T1_i = toint(ohT1)
+    T1r_i = toint(ohT1r)
+    T2r_i = toint(ohT2r)
+    TC_i = toint(ohTC)
+
+    jj = np.arange(n_max + 1)[:, None]
+    dd = np.arange(band)[None, :]
     jjb = jnp.asarray(np.broadcast_to(jj, (n_max + 1, band)))[:, None, :]
-    ivb = jnp.asarray(np.broadcast_to(iv, (n_max + 1, band)))[:, None, :]
-    nb = lengths[None, :, None]  # [1, B, 1]
+    ivb = jnp.asarray(np.broadcast_to(jj - dd, (n_max + 1, band)))[:, None, :]
+    nb = lengths[None, :, None]
 
-    # dangle weight for pair type T1 on (i, j) (reference: raccess.cpp:244-256)
-    def dangle_w(types, a_idx, b_idx, s_a, s_b1):
-        w5 = jnp.where(a_idx > 0, t.W_d5[types, s_a], 1.0)
-        w3 = jnp.where(b_idx < nb, t.W_d3[types, s_b1], 1.0)
-        wau = jnp.where((b_idx == nb) & (types > 2),
-                        t.W_au[jnp.minimum(types, 6)], 1.0)
-        return jnp.where(types != 0, w5 * w3 * wau, 1.0).astype(dtype)
+    W_au7 = np.asarray(lm.W_au)
+    stackW = _lut2(lm.W_stack, ohT1, ohT2r).astype(dtype)
+    t1_nz = T1_i != 0
+    # mismatchI[rtype(T1)][s[j+1]][s[i]] (packed single gather)
+    mi_flat = jnp.asarray(np.asarray(lm.W_mism_i, np.float32).reshape(-1))
+    mism_in = _packed_take(
+        mi_flat, (T1r_i * 5 + s_jp1) * 5 + s_i).astype(dtype)
+    au_in = lut1(W_au7, ohT1r).astype(dtype)
 
-    dangle_ij = dangle_w(T1, ivb, jjb, s_i, s_jp1)
+    # dangle for pair (i+1, j) on (i, j)
+    w5 = jnp.where(ivb > 0, _lut2(lm.W_dangle5[:7], ohT1, oh_i), 1.0)
+    w3 = jnp.where(jjb < nb, _lut2(lm.W_dangle3[:7], ohT1, oh_jp1), 1.0)
+    t1_gt2 = jnp.sum(ohT1[..., 3:], axis=-1)
+    wau = jnp.where((jjb == nb) & (t1_gt2 > 0.5), lut1(W_au7, ohT1), 1.0)
+    dangle_ij = jnp.where(t1_nz, w5 * w3 * wau, 1.0).astype(dtype)
 
-    # hairpin weight for closing (i, j+1): loop size d
-    ddv = jnp.asarray(np.broadcast_to(dd, (n_max + 1, band)))[:, None, :]
-    hp_len = t.W_hairpin_len[jnp.clip(ddv, 0, t.W_hairpin_len.shape[0] - 1)]
-    hp_mism = t.W_mism_h[TC, s_i1, s_j]
-    hp_au = jnp.where(TC > 2, t.W_au[jnp.minimum(TC, 6)], 1.0)
-    hpW = jnp.where(ddv != 3, hp_len * hp_mism, hp_len * hp_au)
-    hpW = (hpW * t.inv_sig_pow[jnp.clip(ddv, 0, t.inv_sig_pow.shape[0] - 1)]
-           ).astype(dtype)
+    # hairpin weight for closing (i, j+1), loop size d (static length part)
+    hp_len = np.asarray(lm.W_hairpin_len)[np.clip(np.arange(band), 0,
+                                                  len(lm.W_hairpin_len) - 1)]
+    inv_sig = np.asarray(lm.inv_sig_pow)[: band]
+    mh_flat = jnp.asarray(np.asarray(lm.W_mism_h, np.float32).reshape(-1))
+    hp_mism = _packed_take(mh_flat, (TC_i * 5 + s_i1) * 5 + s_j)
+    tc_gt2 = jnp.sum(ohTC[..., 3:], axis=-1)
+    hp_au = jnp.where(tc_gt2 > 0.5, lut1(W_au7, ohTC), 1.0)
+    d_is3 = jnp.asarray((np.arange(band) == 3))[None, None, :]
+    hpW = jnp.where(d_is3, hp_au, hp_mism)
+    hpW = (hpW * jnp.asarray((hp_len * inv_sig).astype(np.float32))
+           [None, None, :]).astype(dtype)
 
-    mlclose = (t.W_mlc * t.W_mli * t.W_d3[TCr, s_i1] *
-               t.W_d5[TCr, s_j]).astype(dtype)
+    mism_out = _packed_take(
+        mi_flat, (TC_i * 5 + s_i1) * 5 + s_j).astype(dtype)
+    au_out = lut1(W_au7, ohTC).astype(dtype)
+    mlclose = (float(lm.W_mlc * lm.W_mli) *
+               _lut2(lm.W_dangle3[:7], ohTCr, oh_i1) *
+               _lut2(lm.W_dangle5[:7], ohTCr, oh_j)).astype(dtype)
 
-    sig = lambda k: dtype(np.exp(-k * t.lsig))
-    b1 = t.W_bulge_len[1]
-    sp10 = (b1 * t.W_stack[TC, rt[bp[s_i2, s_j]]] * sig(1)).astype(dtype)
-    sp01 = (b1 * t.W_stack[TC, rt[bp[s_i1, s_jm1]]] * sig(1)).astype(dtype)
-    sp11 = (t.W_int11[TC, rt[bp[s_i2, s_jm1]], s_i1, s_j] * sig(2)).astype(dtype)
-    sp12 = (t.W_int21[TC, rt[bp[s_i2, s_jm2]], s_i1, s_jm1, s_j] * sig(3)).astype(dtype)
-    sp21 = (t.W_int21[rt[bp[s_i3, s_jm1]], TC, s_j, s_i1, s_i2] * sig(3)).astype(dtype)
-    sp22 = (t.W_int22[TC, rt[bp[s_i3, s_jm2]], s_i1, s_i2, s_jm1, s_j] * sig(4)).astype(dtype)
+    sig = lambda k: dtype(np.exp(-k * lm.lsig))
+    b1 = float(lm.W_bulge_len[1])
+    ohX10 = _pair_onehot(oh_i2, oh_j, rtbp_np, 7)
+    ohX01 = _pair_onehot(oh_i1, oh_jm1, rtbp_np, 7)
+    sp10 = (b1 * _lut2(lm.W_stack, ohTC, ohX10) * sig(1)).astype(dtype)
+    sp01 = (b1 * _lut2(lm.W_stack, ohTC, ohX01) * sig(1)).astype(dtype)
 
-    validC = (TC != 0) & (jjb != nb)  # stemend only for j != n (per seq)
+    # deep int-loop tables: packed single gathers
+    i11 = jnp.asarray(np.asarray(lm.W_int11, np.float32).reshape(-1))
+    i21 = jnp.asarray(np.asarray(lm.W_int21, np.float32).reshape(-1))
+    i22 = jnp.asarray(np.asarray(lm.W_int22, np.float32).reshape(-1))
+    t12r = toint(_pair_onehot(oh_i2, _onehot5(s_jm2), rtbp_np, 7))
+    t21r = toint(_pair_onehot(_onehot5(s_i3), oh_jm1, rtbp_np, 7))
+    t22r = toint(_pair_onehot(_onehot5(s_i3), _onehot5(s_jm2), rtbp_np, 7))
+    sp11 = (_packed_take(i11, ((TC_i * 8 + T2r_i) * 5 + s_i1) * 5 + s_j)
+            * sig(2)).astype(dtype)
+    sp12 = (_packed_take(
+        i21, (((TC_i * 8 + t12r) * 5 + s_i1) * 5 + s_jm1) * 5 + s_j)
+        * sig(3)).astype(dtype)
+    sp21 = (_packed_take(
+        i21, (((t21r * 8 + TC_i) * 5 + s_j) * 5 + s_i1) * 5 + s_i2)
+        * sig(3)).astype(dtype)
+    sp22 = (_packed_take(
+        i22, ((((TC_i * 8 + t22r) * 5 + s_i1) * 5 + s_i2) * 5 + s_jm1) * 5
+        + s_j) * sig(4)).astype(dtype)
 
-    sigp = t.sig_pow[jnp.clip(ddv, 0, t.sig_pow.shape[0] - 1)]
-    ext_dot = (sigp * dangle_ij).astype(dtype)
+    validC = (TC_i != 0) & (jjb != nb)
+    sigp = jnp.asarray(np.asarray(lm.sig_pow[: band], np.float32))
+    ext_dot = (sigp[None, None, :] * dangle_ij).astype(dtype)
 
     return Grids(
-        stackW=t.W_stack[T1, T2r].astype(dtype),
-        t1_nz=T1 != 0,
-        mism_in=t.W_mism_i[T1r, s_jp1, s_i].astype(dtype),
-        au_in=t.W_au[jnp.minimum(T1r, 6)].astype(dtype),
-        dangle_ij=dangle_ij,
-        validC=validC,
-        hpW=hpW,
-        mism_out=t.W_mism_i[TC, s_i1, s_j].astype(dtype),
-        au_out=t.W_au[jnp.minimum(TC, 6)].astype(dtype),
-        mlclose=mlclose,
-        sp10=sp10, sp01=sp01, sp11=sp11, sp12=sp12, sp21=sp21, sp22=sp22,
-        ext_dot=ext_dot,
+        stackW=stackW, t1_nz=t1_nz, mism_in=mism_in, au_in=au_in,
+        dangle_ij=dangle_ij, validC=validC, hpW=hpW, mism_out=mism_out,
+        au_out=au_out, mlclose=mlclose, sp10=sp10, sp01=sp01, sp11=sp11,
+        sp12=sp12, sp21=sp21, sp22=sp22, ext_dot=ext_dot,
     )
 
 
@@ -419,9 +522,17 @@ def _shift_cols(x: jax.Array, k: int) -> jax.Array:
 
 def _diag_view(x: jax.Array, band: int) -> jax.Array:
     """D[i, b, e] = x[i + e, b, e] for a [N+1, B, band] column-major banded
-    array — the row-major (left-end indexed) view, built with static rolls."""
-    cols = [_shift_cols(x[..., e], -e)[..., None] for e in range(band)]
-    return jnp.concatenate(cols, axis=-1)
+    array — the row-major (left-end indexed) view, via the pad+reshape skew
+    (two transposes + layout ops instead of `band` slice-concats)."""
+    N, B = x.shape[0], x.shape[1]
+    U = band
+    y = jnp.transpose(x, (1, 2, 0))            # [B, band, N]
+    z = y[:, ::-1, :]
+    zp = jnp.pad(z, ((0, 0), (0, 0), (0, U)))
+    flat = zp.reshape(B, U * (N + U))
+    sk = flat[:, : U * (N + U - 1)].reshape(B, U, N + U - 1)
+    out = sk[:, ::-1, U - 1 : U - 1 + N]       # out[b, u, i] = y[b, u, i+u]
+    return jnp.transpose(out, (2, 0, 1))
 
 
 class OutsideGrids(NamedTuple):
@@ -450,100 +561,123 @@ def make_outside_grids(t: Tables, s: jax.Array, lengths: jax.Array,
                        multi2_full: jax.Array, A_full: jax.Array,
                        B_full: jax.Array, logZ: jax.Array) -> OutsideGrids:
     B = s.shape[0]
+    lm = _linmodel(band - 2)
+
+    s_p = _seq_diag(s, n_max, band, 0)
+    s_p1 = _seq_diag(s, n_max, band, 1)
+    s_pm1 = _seq_diag(s, n_max, band, -1)
+    s_pm2 = _seq_diag(s, n_max, band, -2)
+    s_q = _seq_col(s, n_max, band, 0)
+    s_q1 = _seq_col(s, n_max, band, 1)
+    s_q2 = _seq_col(s, n_max, band, 2)
+    s_q3 = _seq_col(s, n_max, band, 3)
+
+    oh_p = _onehot5(s_p)
+    oh_p1 = _onehot5(s_p1)
+    oh_pm1 = _onehot5(s_pm1)
+    oh_q = _onehot5(s_q)
+    oh_q1 = _onehot5(s_q1)
+
+    bp_np = np.asarray(lm.bp)
+    rtbp_np = np.asarray(lm.rtype)[bp_np]
+
+    ohT2 = _pair_onehot(oh_p1, oh_q, bp_np, 7)
+    ohT2r = _pair_onehot(oh_p1, oh_q, rtbp_np, 7)
+    ohTC = _pair_onehot(oh_p, oh_q1, bp_np, 7)
+    ohTCr = _pair_onehot(oh_p, oh_q1, rtbp_np, 7)
+
+    def lut1(tab, oh):
+        return jnp.einsum("...p,p->...", oh,
+                          jnp.asarray(np.asarray(tab, np.float32)))
+
+    def toint(oh):
+        return lut1(np.arange(oh.shape[-1]), oh).astype(jnp.int32)
+
+    T2_i = toint(ohT2)
+    T2r_i = toint(ohT2r)
+    TC_i = toint(ohTC)
+
     jj = np.arange(n_max + 1)[:, None]
     dd = np.arange(band)[None, :]
-    pv = jj - dd
-
-    def S(off_i=None, off_j=None):
-        if off_j is not None:
-            idx = np.broadcast_to(jj + off_j, (n_max + 1, band))
-        else:
-            idx = pv + off_i
-        return jnp.transpose(_gather_s(s, jnp.asarray(idx)), (1, 0, 2))
-
-    s_p = S(off_i=0)
-    s_p1 = S(off_i=1)
-    s_pm1 = S(off_i=-1)
-    s_q = S(off_j=0)
-    s_q1 = S(off_j=1)
-    s_q2 = S(off_j=2)
-
-    bp, rt = t.bp, t.rtype
-    T2 = bp[s_p1, s_q]
-    T2r = rt[T2]
-    TC = bp[s_p, s_q1]  # closing (p, q+1) of the bse cell at (q, d)
-    TCr = rt[TC]
-
     jjb = jnp.asarray(np.broadcast_to(jj, (n_max + 1, band)))[:, None, :]
-    pvb = jnp.asarray(np.broadcast_to(pv, (n_max + 1, band)))[:, None, :]
+    pvb = jnp.asarray(np.broadcast_to(jj - dd, (n_max + 1, band)))[:, None, :]
     nb = lengths[None, :, None]
-    ddv = jnp.asarray(np.broadcast_to(dd, (n_max + 1, band)))[:, None, :]
 
-    # A[q - d] diagonal grid + seed
-    A_pad = jnp.concatenate(
-        [jnp.zeros((band, A_full.shape[1]), A_full.dtype), A_full], axis=0)
-    idx = jnp.asarray(np.clip(jj - dd + band, 0, n_max + band))
-    A_diag = A_pad[idx]  # [N+1, band, B] -> transpose
-    A_diag = jnp.transpose(A_diag, (0, 2, 1))
-    Bq = jnp.transpose(B_full, (0, 1))[:, :, None]  # [N+1, B, 1]
+    # seed: exp(A[q-d] + B[q] - logZ + d lsig) — A diagonal via skew
+    A_t = jnp.transpose(A_full)  # [B, N+1]
+    A_diag = _seq_diag(A_t.astype(jnp.float32), n_max, band, 0)
+    # _seq_diag zero-fills; A[q-d] for q-d<0 masked below anyway
+    ddv = jnp.asarray(np.broadcast_to(dd, (n_max + 1, band)))[:, None, :]
+    Bq = jnp.transpose(B_full)[:, :]
+    Bq = jnp.transpose(Bq)[:, :, None]
     seed = jnp.exp(A_diag + Bq - logZ[None, :, None] +
-                   (ddv * dtype(t.lsig)).astype(dtype)).astype(dtype)
+                   (ddv * dtype(t.lsig)).astype(jnp.float32)).astype(dtype)
     seed = jnp.where(pvb >= 0, seed, 0.0)
 
-    cmask = TC != 0
-    bse_mism_w = jnp.where(cmask, t.W_mism_i[TC, s_p1, s_q], 0.0).astype(dtype)
-    bse_au_w = jnp.where(cmask, t.W_au[jnp.minimum(TC, 6)], 0.0).astype(dtype)
+    W_au7 = np.asarray(lm.W_au)
+    mi_flat = jnp.asarray(np.asarray(lm.W_mism_i, np.float32).reshape(-1))
+    cmask = TC_i != 0
+    bse_mism_w = jnp.where(
+        cmask, _packed_take(mi_flat, (TC_i * 5 + s_p1) * 5 + s_q),
+        0.0).astype(dtype)
+    bse_au_w = jnp.where(cmask, lut1(W_au7, ohTC), 0.0).astype(dtype)
 
-    mlclose_o = (t.W_mlc * t.W_mli * t.W_d3[TCr, s_p1] *
-                 t.W_d5[TCr, s_q]).astype(dtype)
+    mlclose_o = (float(lm.W_mlc * lm.W_mli) *
+                 _lut2(lm.W_dangle3[:7], ohTCr, oh_p1) *
+                 _lut2(lm.W_dangle5[:7], ohTCr, oh_q)).astype(dtype)
 
-    sig = lambda k: dtype(np.exp(-k * t.lsig))
-    b1 = t.W_bulge_len[1]
+    sig = lambda k: dtype(np.exp(-k * lm.lsig))
+    b1 = float(lm.W_bulge_len[1])
 
-    def ct(v1, v2):
-        # closing type of bse cell (p - v1, q + v2): bp(s[p-v1], s[q+v2+1])
-        sa = S(off_i=-v1)
-        sb = S(off_j=v2 + 1)
-        return bp[sa, sb]
+    # closing types of displaced bse cells (p - v1, q + v2)
+    def ct_oh(v1, v2):
+        sa = _onehot5(_seq_diag(s, n_max, band, -v1))
+        sb = _onehot5(_seq_col(s, n_max, band, v2 + 1))
+        return _pair_onehot(sa, sb, bp_np, 7)
 
-    tc10 = ct(1, 0)
-    tc01 = ct(0, 1)
-    tc11 = ct(1, 1)
-    tc12 = ct(1, 2)
-    tc21 = ct(2, 1)
-    tc22 = ct(2, 2)
-    spo10 = (b1 * t.W_stack[tc10, T2r] * sig(1)).astype(dtype)
-    spo01 = (b1 * t.W_stack[tc01, T2r] * sig(1)).astype(dtype)
-    spo11 = jnp.where(tc11 != 0, t.W_int11[tc11, T2r, s_p, s_q1] * sig(2),
+    oh10 = ct_oh(1, 0)
+    oh01 = ct_oh(0, 1)
+    tc11 = toint(ct_oh(1, 1))
+    tc12 = toint(ct_oh(1, 2))
+    tc21 = toint(ct_oh(2, 1))
+    tc22 = toint(ct_oh(2, 2))
+
+    i11 = jnp.asarray(np.asarray(lm.W_int11, np.float32).reshape(-1))
+    i21 = jnp.asarray(np.asarray(lm.W_int21, np.float32).reshape(-1))
+    i22 = jnp.asarray(np.asarray(lm.W_int22, np.float32).reshape(-1))
+    spo10 = (b1 * _lut2(lm.W_stack, oh10, ohT2r) * sig(1)).astype(dtype)
+    spo01 = (b1 * _lut2(lm.W_stack, oh01, ohT2r) * sig(1)).astype(dtype)
+    spo11 = jnp.where(tc11 != 0, _packed_take(
+        i11, ((tc11 * 8 + T2r_i) * 5 + s_p) * 5 + s_q1) * sig(2),
+        0.0).astype(dtype)
+    spo12 = jnp.where(tc12 != 0, _packed_take(
+        i21, (((tc12 * 8 + T2r_i) * 5 + s_p) * 5 + s_q1) * 5 + s_q2) * sig(3),
+        0.0).astype(dtype)
+    spo21 = jnp.where(tc21 != 0, _packed_take(
+        i21, (((T2r_i * 8 + tc21) * 5 + s_q1) * 5 + s_pm1) * 5 + s_p) * sig(3),
+        0.0).astype(dtype)
+    spo22 = jnp.where(tc22 != 0, _packed_take(
+        i22, ((((tc22 * 8 + T2r_i) * 5 + s_pm1) * 5 + s_p) * 5 + s_q1) * 5
+        + s_q2) * sig(4), 0.0).astype(dtype)
+
+    tcont_nz = jnp.sum(ohTC[..., 1:], axis=-1) > 0.5
+    contW = jnp.where(tcont_nz & (pvb != 0) & (jjb != nb),
+                      _lut2(lm.W_stack, ohTC, ohT2r) * sig(2),
                       0.0).astype(dtype)
-    spo12 = jnp.where(tc12 != 0,
-                      t.W_int21[tc12, T2r, s_p, s_q1, s_q2] * sig(3),
-                      0.0).astype(dtype)
-    spo21 = jnp.where(tc21 != 0,
-                      t.W_int21[T2r, tc21, s_q1, s_pm1, s_p] * sig(3),
-                      0.0).astype(dtype)
-    spo22 = jnp.where(tc22 != 0,
-                      t.W_int22[tc22, T2r, s_pm1, s_p, s_q1, s_q2] * sig(4),
-                      0.0).astype(dtype)
 
-    # helix continuation weight: stack(bp(s[p], s[q+1]), T2r), guarded
-    tcont = bp[s_p, s_q1]
-    contW = jnp.where((tcont != 0) & (pvb != 0) & (jjb != nb),
-                      t.W_stack[tcont, T2r] * sig(2), 0.0).astype(dtype)
-
-    # multi2[q + t][t] diagonal (for beta multi1)
-    m2diag = _diag_view(multi2_full, band)  # [q, B, t] = multi2[q+t][t]
-    # zero the span-(W+1) entries: reference bound k <= p + W
-    m2mask = np.ones(band); m2mask[band - 1] = 0.0
-    m2diag = m2diag * jnp.asarray(m2mask, dtype)[None, None, :]
+    m2diag = _diag_view(multi2_full, band)
+    m2mask = np.ones(band, np.float32)
+    m2mask[band - 1] = 0.0
+    m2diag = (m2diag * jnp.asarray(m2mask)[None, None, :]).astype(dtype)
 
     valid_int = (pvb > 0) & (jjb != nb)
 
     return OutsideGrids(
-        t2_nz=T2 != 0, seed=seed, dangle_pq=g.dangle_ij,
+        t2_nz=T2_i != 0, seed=seed, dangle_pq=g.dangle_ij,
         bse_mism_w=bse_mism_w, bse_au_w=bse_au_w,
-        mism_out2=t.W_mism_i[T2r, s_q1, s_p].astype(dtype),
-        au_out2=t.W_au[jnp.minimum(T2r, 6)].astype(dtype),
+        mism_out2=_packed_take(mi_flat,
+                               (T2r_i * 5 + s_q1) * 5 + s_p).astype(dtype),
+        au_out2=lut1(W_au7, ohT2r).astype(dtype),
         contW=contW, mlclose_o=mlclose_o,
         spo10=spo10, spo01=spo01, spo11=spo11, spo12=spo12, spo21=spo21,
         spo22=spo22, m2diag=m2diag, valid_int=valid_int,
@@ -737,41 +871,65 @@ class ProbGrids(NamedTuple):
 
 def make_prob_grids(t: Tables, s: jax.Array, n_max: int, band: int,
                     dtype) -> ProbGrids:
-    jj = np.arange(n_max + 1)[:, None]   # jc
-    dd = np.arange(band)[None, :]        # ecell
-    iv = jj - dd                         # i = jc - ecell; j = jc + 1
+    lm = _linmodel(band - 2)
+    bp_np = np.asarray(lm.bp)
+    rtbp_np = np.asarray(lm.rtype)[bp_np]
 
-    def S(off_i=None, off_j=None):
-        if off_j is not None:
-            idx = np.broadcast_to(jj + off_j, (n_max + 1, band))
-        else:
-            idx = iv + off_i
-        return jnp.transpose(_gather_s(s, jnp.asarray(idx)), (1, 0, 2))
+    # cell grid: [col jc][ecell]; closing pair (i, j) = (jc-ecell, jc+1)
+    s_i = _seq_diag(s, n_max, band, 0)
+    s_i1 = _seq_diag(s, n_max, band, 1)
+    s_i2 = _seq_diag(s, n_max, band, 2)
+    s_i3 = _seq_diag(s, n_max, band, 3)
+    s_j = _seq_col(s, n_max, band, 1)
+    s_jm1 = _seq_col(s, n_max, band, 0)
+    s_jm2 = _seq_col(s, n_max, band, -1)
+    s_jm3 = _seq_col(s, n_max, band, -2)
 
-    s_i = S(off_i=0)
-    s_i1 = S(off_i=1)
-    s_i2 = S(off_i=2)
-    s_i3 = S(off_i=3)
-    s_j = S(off_j=1)      # s[j] = s[jc+1]
-    s_jm1 = S(off_j=0)    # s[j-1] = s[jc]
-    s_jm2 = S(off_j=-1)
-    s_jm3 = S(off_j=-2)
+    oh_i = _onehot5(s_i)
+    oh_i1 = _onehot5(s_i1)
+    oh_i2 = _onehot5(s_i2)
+    oh_j = _onehot5(s_j)
+    oh_jm1 = _onehot5(s_jm1)
+    oh_jm2 = _onehot5(s_jm2)
 
-    bp, rt = t.bp, t.rtype
-    TCL = bp[s_i, s_j]  # closing (i, j)
-    sig = lambda k: dtype(np.exp(-k * t.lsig))
-    b1 = t.W_bulge_len[1]
+    ohTCL = _pair_onehot(oh_i, oh_j, bp_np, 7)
+
+    def lut1(tab, oh):
+        return jnp.einsum("...p,p->...", oh,
+                          jnp.asarray(np.asarray(tab, np.float32)))
+
+    def toint(oh):
+        return lut1(np.arange(oh.shape[-1]), oh).astype(jnp.int32)
+
+    TCL_i = toint(ohTCL)
+    nz = TCL_i != 0
+    sig = lambda k: dtype(np.exp(-k * lm.lsig))
+    b1 = float(lm.W_bulge_len[1])
+    i11 = jnp.asarray(np.asarray(lm.W_int11, np.float32).reshape(-1))
+    i21 = jnp.asarray(np.asarray(lm.W_int21, np.float32).reshape(-1))
+    i22 = jnp.asarray(np.asarray(lm.W_int22, np.float32).reshape(-1))
+
+    oh_t10 = _pair_onehot(oh_i2, oh_jm1, rtbp_np, 7)
+    oh_t01 = _pair_onehot(oh_i1, oh_jm2, rtbp_np, 7)
+    t11 = toint(_pair_onehot(oh_i2, oh_jm2, rtbp_np, 7))
+    t12 = toint(_pair_onehot(oh_i2, _onehot5(s_jm3), rtbp_np, 7))
+    t21 = toint(_pair_onehot(_onehot5(s_i3), oh_jm2, rtbp_np, 7))
+    t22 = toint(_pair_onehot(_onehot5(s_i3), _onehot5(s_jm3), rtbp_np, 7))
 
     def mask(w):
-        return jnp.where(TCL != 0, w, 0.0).astype(dtype)
+        return jnp.where(nz, w, 0.0).astype(dtype)
 
-    # inner pair (p, q) = (i + u1 + 1, j - u2 - 1); its type for stacks:
-    pb10 = mask(b1 * t.W_stack[TCL, rt[bp[s_i2, s_jm1]]]) * sig(1)
-    pb01 = mask(b1 * t.W_stack[TCL, rt[bp[s_i1, s_jm2]]]) * sig(1)
-    pb11 = mask(t.W_int11[TCL, rt[bp[s_i2, s_jm2]], s_i1, s_jm1]) * sig(2)
-    pb12 = mask(t.W_int21[TCL, rt[bp[s_i2, s_jm3]], s_i1, s_jm2, s_jm1]) * sig(3)
-    pb21 = mask(t.W_int21[rt[bp[s_i3, s_jm2]], TCL, s_jm1, s_i1, s_i2]) * sig(3)
-    pb22 = mask(t.W_int22[TCL, rt[bp[s_i3, s_jm3]], s_i1, s_i2, s_jm2, s_jm1]) * sig(4)
+    pb10 = mask(b1 * _lut2(lm.W_stack, ohTCL, oh_t10)) * sig(1)
+    pb01 = mask(b1 * _lut2(lm.W_stack, ohTCL, oh_t01)) * sig(1)
+    pb11 = mask(_packed_take(
+        i11, ((TCL_i * 8 + t11) * 5 + s_i1) * 5 + s_jm1)) * sig(2)
+    pb12 = mask(_packed_take(
+        i21, (((TCL_i * 8 + t12) * 5 + s_i1) * 5 + s_jm2) * 5 + s_jm1)) * sig(3)
+    pb21 = mask(_packed_take(
+        i21, (((t21 * 8 + TCL_i) * 5 + s_jm1) * 5 + s_i1) * 5 + s_i2)) * sig(3)
+    pb22 = mask(_packed_take(
+        i22, ((((TCL_i * 8 + t22) * 5 + s_i1) * 5 + s_i2) * 5 + s_jm2) * 5
+        + s_jm1)) * sig(4)
     return ProbGrids(pb10, pb01, pb11, pb12, pb21, pb22)
 
 
