@@ -209,13 +209,29 @@ def _onehot5(x: jax.Array) -> jax.Array:
 
 def _pair_onehot(oh_a: jax.Array, oh_b: jax.Array, pair_tab: np.ndarray,
                  n_out: int) -> jax.Array:
-    """one-hot of pair_tab[a, b] (5x5 int table with values < n_out)."""
-    tab = np.zeros((5, 5, n_out), np.float32)
-    for a in range(5):
-        for b in range(5):
-            tab[a, b, pair_tab[a, b]] = 1.0
-    tmp = jnp.einsum("...b,abt->...at", oh_b, jnp.asarray(tab))
-    return jnp.einsum("...a,...at->...t", oh_a, tmp)
+    """one-hot of pair_tab[a, b]. Every nonzero value in the 5x5 pair-type
+    tables appears for exactly one (a, b), so each output lane is a single
+    elementwise product — no [., 5, n_out] transients."""
+    lanes = []
+    for tv in range(n_out):
+        hits = np.argwhere(pair_tab == tv)
+        if tv == 0 or len(hits) == 0:
+            lanes.append(None)
+            continue
+        acc = None
+        for a, b in hits:
+            term = oh_a[..., a] * oh_b[..., b]
+            acc = term if acc is None else acc + term
+        lanes.append(acc)
+    rest = None
+    for ln in lanes[1:]:
+        if ln is not None:
+            rest = ln if rest is None else rest + ln
+    lanes[0] = 1.0 - rest if rest is not None else jnp.ones(oh_a.shape[:-1],
+                                                            jnp.float32)
+    zero = jnp.zeros(oh_a.shape[:-1], jnp.float32)
+    return jnp.stack([ln if ln is not None else zero for ln in lanes],
+                     axis=-1)
 
 
 def _lut2(tab: np.ndarray, oh_1: jax.Array, oh_2: jax.Array) -> jax.Array:

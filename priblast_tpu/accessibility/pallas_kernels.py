@@ -272,7 +272,7 @@ def _outside_kernel(band: int, consts: dict):
                m1d0_r, m1d1_r,
                k2_r, kb_r, lmatu_r, kbmatu_r,
                bse_o, bsem_o, bsea_o, bmulti_o, bmulti2_o,
-               prev_s, bsew_s, bsaw_s, bseraw_s, bmbw_s):
+               prev_s, bsew_s, bsaw_s, bseraw_s, bmbw_s, m1win_s):
         jc = pl.program_id(1)
 
         @pl.when(jc == 0)
@@ -286,8 +286,10 @@ def _outside_kernel(band: int, consts: dict):
         lane = jax.lax.broadcasted_iota(jnp.int32, (BS, band), 1)
         dmask = (lane < W).astype(jnp.float32)
         wmask = (lane <= W).astype(jnp.float32)  # zero span W+1
-        # the multi1 diagonal window for this block: [BS, 2*CBO, band]
-        m1win = jnp.concatenate([m1d0_r[...], m1d1_r[...]], axis=1)
+        # the multi1 diagonal window for this block (scratch so the column
+        # loop can index it dynamically): [BS, 2*band, band]
+        m1win_s[:, : band, :] = m1d0_r[...]
+        m1win_s[:, band :, :] = m1d1_r[...]
 
         def col(k, _):
             bstem_next = prev_s[0]
@@ -315,8 +317,7 @@ def _outside_kernel(band: int, consts: dict):
             #        = ... + sum_e bmb[e] * D_m1[q-e][e-d]
             bm2 = bm1 + _shift(bm2_next, -1) * decay
             for e in range(1, W + 1):
-                ve = jax.lax.dynamic_slice(
-                    m1win, (0, k + e, 0), (BS, 1, band))[:, 0, :]
+                ve = m1win_s[:, k + e, :]
                 f = jnp.flip(ve, axis=1)
                 bm2 = bm2 + bmb[:, e][:, None] * _shift(f, e + 1 - band)
             bm2 = bm2 * valid
@@ -447,6 +448,7 @@ def outside_pass_pallas(n_max: int, band: int, og, multi1_full, tables):
         pltpu.VMEM((ML + 1, BS, band), jnp.float32),
         pltpu.VMEM((3, BS, band), jnp.float32),
         pltpu.VMEM((band - 1, BS, band), jnp.float32),
+        pltpu.VMEM((BS, 2 * band, band), jnp.float32),
     ]
 
     kernel = _outside_kernel(band, consts)
