@@ -1208,7 +1208,9 @@ def _default_use_pallas() -> bool:
     env = os.environ.get("PRIBLAST_USE_PALLAS", "")
     if env != "":
         return env not in ("0", "false")
-    return jax.default_backend() == "tpu"
+    # Off by default: since the gather-free grid rework the XLA scan path
+    # matches the fused kernels, with far shorter compiles.
+    return False
 
 
 class BatchedRaccess:

@@ -316,9 +316,10 @@ def _outside_kernel(band: int, consts: dict):
             # bm2[d] = bm1 + decayed + sum_e bmb[e] * multi1[q-d][e-d]
             #        = ... + sum_e bmb[e] * D_m1[q-e][e-d]
             bm2 = bm1 + _shift(bm2_next, -1) * decay
+            # m1win is streamed lane-REVERSED (Mosaic has no rev op):
+            # f[d] = D_m1[q-e][band-1-d]
             for e in range(1, W + 1):
-                ve = m1win_s[:, k + e, :]
-                f = jnp.flip(ve, axis=1)
+                f = m1win_s[:, k + e, :]
                 bm2 = bm2 + bmb[:, e][:, None] * _shift(f, e + 1 - band)
             bm2 = bm2 * valid
 
@@ -404,7 +405,7 @@ def outside_pass_pallas(n_max: int, band: int, og, multi1_full, tables):
     d_m1 = jnp.pad(d_m1,
                    ((0, (n_pad + cbo) - d_m1.shape[0]), (0, b_pad - B),
                     (0, 0)))
-    d_m1r = jnp.transpose(d_m1[::-1], (1, 0, 2))
+    d_m1r = jnp.transpose(d_m1[::-1], (1, 0, 2))[:, :, ::-1]  # lane-flip
 
     consts = dict(
         sig2=float(np.exp(-2 * t.lsig)), sig1=float(np.exp(-t.lsig)),
