@@ -15,19 +15,23 @@ import numpy as np
 from priblast_tpu.utils import alphabet
 
 
-def bucket_length(n: int, quantum: int = 64) -> int:
+def bucket_length(n: int, quantum: int = 256) -> int:
     """Round a length up to a bucket boundary: multiples of `quantum` below
-    1024, then 12.5% geometric steps — bounds jit recompilations."""
+    1024, then 25% geometric steps. Coarse buckets keep the number of jit
+    specializations (and first-run compiles) small; the persistent compile
+    cache makes later runs instant."""
     if n <= 1024:
         return max(quantum, (n + quantum - 1) // quantum * quantum)
     b = 1024
     while b < n:
-        b = (b * 9 + 7) // 8
+        b = (b * 5 + 3) // 4
     return b
 
 
 def plan_batches(lengths: list[int], batch_size: int):
-    """Yield (indices, padded_len) batches from descending-length order."""
+    """Yield (indices, padded_len) batches from descending-length order.
+    Groups are NOT padded here; callers pad the batch dimension to
+    batch_size so every call shares one compiled program per bucket."""
     order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
     for k in range(0, len(order), batch_size):
         group = order[k : k + batch_size]
@@ -48,9 +52,9 @@ def compute_accessibilities(seqs: list[str], w: int, d: int,
     lengths = [len(s) for s in seqs]
 
     for group, padded in plan_batches(lengths, batch_size):
-        bsz = len(group)
-        codes = np.zeros((bsz, padded), np.uint8)
-        lens = np.zeros(bsz, np.int32)
+        # pad the batch dimension so every batch shares the compiled program
+        codes = np.zeros((batch_size, padded), np.uint8)
+        lens = np.zeros(batch_size, np.int32)
         for bi, idx in enumerate(group):
             codes[bi, : lengths[idx]] = alphabet.access_codes(seqs[idx])
             lens[bi] = lengths[idx]

@@ -54,3 +54,31 @@ def test_predictions_byte_identical(built_db, style):
     assert mine[1].split(",", 2)[2] == want[1].split(",", 2)[2]
     assert mine[2] == want[2]
     assert mine[3:] == want[3:]
+
+
+def test_paginated_db_and_ris(tmp_path, data_dir):
+    """Pagination (-c) must produce the same predictions as the reference's
+    paginated run; db files are chunked identically (here validated by
+    building chunked vs unchunked and comparing search results, plus the
+    .seq/.ind chunk structure parsing round trip)."""
+    from priblast_tpu.utils import store
+
+    db_a = str(tmp_path / "whole")
+    db_b = str(tmp_path / "paged")
+    db_model.run(DbParams(input=str(data_dir / "tiny_db.fa"), db_name=db_a,
+                          algorithm="block"))
+    db_model.run(DbParams(input=str(data_dir / "tiny_db.fa"), db_name=db_b,
+                          algorithm="block", chunk_size=3))
+    chunks = store.load_chunks(db_b, 8)
+    assert len(chunks) == 3  # 8 seqs in pages of 3
+    assert sum(c.n_seqs for c in chunks) == 8
+
+    out_a = str(tmp_path / "a.txt")
+    out_b = str(tmp_path / "b.txt")
+    ris_model.run(RisParams(input=str(data_dir / "tiny_q.fa"), output=out_a,
+                            db_name=db_a, algorithm="block"))
+    ris_model.run(RisParams(input=str(data_dir / "tiny_q.fa"), output=out_b,
+                            db_name=db_b, algorithm="block"))
+    a = open(out_a).read().splitlines()
+    b = open(out_b).read().splitlines()
+    assert a[2:] == b[2:]  # same hits; header db names differ
