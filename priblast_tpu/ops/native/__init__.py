@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 
 _DIR = Path(__file__).resolve().parent
-_SOURCES = ["exact_engine.cc", "suffix_array.cc", "search.cc"]
+_SOURCES = ["exact_engine.cc", "suffix_array.cc", "sa_is.cc", "search.cc"]
 _HEADERS = ["fastmath.hpp"]
 
 
@@ -88,7 +88,16 @@ def _ptr(a: np.ndarray) -> ctypes.c_void_p:
 
 
 def sa_build(seq: np.ndarray) -> np.ndarray:
-    """Suffix array of a uint8-encoded string."""
+    """Suffix array of a uint8-encoded string (SA-IS, linear time)."""
+    so = lib()
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    sa = np.empty(len(seq), dtype=np.int32)
+    so.rp_sais(_ptr(seq), ctypes.c_int64(len(seq)), _ptr(sa))
+    return sa
+
+
+def sa_build_doubling(seq: np.ndarray) -> np.ndarray:
+    """Prefix-doubling builder (kept for cross-validation)."""
     so = lib()
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     sa = np.empty(len(seq), dtype=np.int32)
