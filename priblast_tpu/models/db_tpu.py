@@ -28,18 +28,34 @@ def bucket_length(n: int, quantum: int = 256) -> int:
     return b
 
 
-def plan_batches(lengths: list[int], batch_size: int):
-    """Yield (indices, padded_len) batches from descending-length order.
-    Groups are NOT padded here; callers pad the batch dimension to
-    batch_size so every call shares one compiled program per bucket."""
+def adaptive_batch(bucket: int, cap: int = 128) -> int:
+    """Batch size targeting ~128k padded nucleotides per device batch
+    (keeps HBM footprint flat across buckets); power-of-two quantized so
+    (batch, bucket) shape combinations stay few."""
+    b = max(8, min(cap, (1 << 17) // max(bucket, 1)))
+    p = 8
+    while p * 2 <= b:
+        p *= 2
+    return p
+
+
+def plan_batches(lengths: list[int], batch_size: int | None = None):
+    """Yield (indices, batch_size, padded_len) from descending-length order.
+    Groups are padded by callers to batch_size x padded_len so every batch
+    shares one compiled program per (batch, bucket) shape."""
     order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
-    for k in range(0, len(order), batch_size):
-        group = order[k : k + batch_size]
-        yield group, bucket_length(lengths[group[0]])
+    k = 0
+    while k < len(order):
+        bucket = bucket_length(lengths[order[k]])
+        bsz = batch_size or adaptive_batch(bucket)
+        group = order[k : k + bsz]
+        yield group, bsz, bucket
+        k += bsz
 
 
 def compute_accessibilities(seqs: list[str], w: int, d: int,
-                            batch_size: int = 32, dtype: str = "float32"):
+                            batch_size: int | None = None,
+                            dtype: str = "float32"):
     """Per-sequence accessibility via the batched TPU engine. Returns lists
     (accs, conds) in the original sequence order, matching the exact
     engine's layout."""
@@ -51,10 +67,10 @@ def compute_accessibilities(seqs: list[str], w: int, d: int,
     conds: list[np.ndarray | None] = [None] * n
     lengths = [len(s) for s in seqs]
 
-    for group, padded in plan_batches(lengths, batch_size):
+    for group, bsz, padded in plan_batches(lengths, batch_size):
         # pad the batch dimension so every batch shares the compiled program
-        codes = np.zeros((batch_size, padded), np.uint8)
-        lens = np.zeros(batch_size, np.int32)
+        codes = np.zeros((bsz, padded), np.uint8)
+        lens = np.zeros(bsz, np.int32)
         for bi, idx in enumerate(group):
             codes[bi, : lengths[idx]] = alphabet.access_codes(seqs[idx])
             lens[bi] = lengths[idx]

@@ -45,10 +45,10 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
 
     with cf.ThreadPoolExecutor(threads) as ex:
         futs = {}
-        BATCH = 16
-        for group, padded in db_tpu.plan_batches(lengths, batch_size=BATCH):
-            codes = np.zeros((BATCH, padded), np.uint8)
-            lens = np.zeros(BATCH, np.int32)
+        for group, bsz, padded in db_tpu.plan_batches(lengths,
+                                                      batch_size=16):
+            codes = np.zeros((bsz, padded), np.uint8)
+            lens = np.zeros(bsz, np.int32)
             for bi, idx in enumerate(group):
                 codes[bi, : lengths[idx]] = alphabet.access_codes(seqs[idx])
                 lens[bi] = lengths[idx]
