@@ -74,7 +74,7 @@ def lib() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # seq_len/start_pos/n
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     so.rp_result_sizes.argtypes = [ctypes.c_void_p] * 3
     so.rp_result_copy.argtypes = [ctypes.c_void_p] * 13
@@ -125,10 +125,12 @@ def argsort_desc(lengths) -> np.ndarray:
     return order
 
 
-def search_chunk(q_seq, q_sa, q_acc, q_cond, chunk, p):
-    """Run the full per-query-per-chunk search chain on the exact engine.
+def search_chunk(q_seq, q_sa, q_acc, q_cond, chunk, p, stage: int = 0):
+    """Run the per-query-per-chunk search chain on the exact engine.
 
     `chunk` is a priblast_tpu.utils.store.DbChunk; `p` a RisParams.
+    stage: 0 = full chain, 1 = stop after seed expansion, 2 = stop after
+    ungapped extension (used to validate the device kernels).
     Returns a dict of struct-of-arrays hit fields + base pairs.
     """
     so = lib()
@@ -147,7 +149,7 @@ def search_chunk(q_seq, q_sa, q_acc, q_cond, chunk, p):
         ctypes.c_double(p.final_threshold),
         ctypes.c_int(p.drop_out_length_wo_gap),
         ctypes.c_int(p.drop_out_length_w_gap),
-        ctypes.c_int(p.min_helix_length),
+        ctypes.c_int(p.min_helix_length), ctypes.c_int(stage),
     )
     if not handle:
         raise RuntimeError("rp_search_chunk failed (params not set?)")

@@ -841,7 +841,7 @@ extern "C" void *rp_search_chunk(
     const int32_t *db_start_pos, int n_seqs, int hash_size,
     int max_seed_length, int min_acc_len, double hybrid_thr,
     double interaction_thr, double final_thr, int dropout_wo_gap,
-    int dropout_w_gap, int min_helix) {
+    int dropout_w_gap, int min_helix, int stage) {
   if (!g.ready) return nullptr;
   QueryView q{q_seq, q_n, q_sa, q_acc, q_cond};
   DbChunkView db{db_seq,     db_n,       db_sa,      hstart,
@@ -855,7 +855,9 @@ extern "C" void *rp_search_chunk(
   SeedSearcher seeder(q, db, p);
   seeder.run();
   expand_candidates(seeder.out, q, db, p, res->hits);
+  if (stage == 1) return res;  // pre-ungapped hits (for kernel validation)
   ungapped_extend(res->hits, q, db, p);
+  if (stage == 2) return res;  // post-ungapped hits
   std::sort(res->hits.begin(), res->hits.end(), hit_before);
   drop_redundant(res->hits, p.interaction_thr);
   collect_seed_bps(res->hits, q, db);

@@ -1,0 +1,85 @@
+"""Device search kernels vs the exact engine, staged.
+
+The native chain exposes stage=1 (post seed expansion) and stage=2 (post
+ungapped extension); the device ungapped kernel must map stage-1 hits to
+stage-2 hits: integer fields exactly, energies to f32 accumulation noise.
+"""
+
+import numpy as np
+import pytest
+
+from priblast_tpu.ops import native
+from priblast_tpu.utils import alphabet, fasta, store
+from priblast_tpu.utils.params import RisParams
+
+
+@pytest.fixture(scope="module")
+def staged(tmp_path_factory, data_dir):
+    from priblast_tpu.models import db as db_model
+    from priblast_tpu.utils.params import DbParams
+
+    tmp = tmp_path_factory.mktemp("db_stage")
+    db_name = str(tmp / "tiny_db")
+    db_model.run(DbParams(input=str(data_dir / "tiny_db.fa"), db_name=db_name,
+                          algorithm="block"))
+    chunks = store.load_chunks(db_name, 8)
+    p = RisParams(input="x", output="y", db_name=db_name, algorithm="block")
+    p.load_db_params()
+
+    names, seqs = fasta.read_fasta(data_dir / "tiny_q.fa")
+    out = []
+    for seq in seqs:
+        q_acc, q_cond = native.raccess(alphabet.access_codes(seq),
+                                       p.maximal_span,
+                                       p.min_accessible_length)
+        q_enc = alphabet.encode_query(seq, p.repeat_flag)
+        q_sa = native.sa_build(q_enc)
+        pre = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[0], p,
+                                  stage=1)
+        post = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[0], p,
+                                   stage=2)
+        out.append((q_enc, q_acc, q_cond, pre, post))
+    return chunks[0], p, out
+
+
+def test_device_ungapped_matches_exact(staged):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from priblast_tpu.search.ungapped import ungapped_extend_device
+
+    chunk, p, cases = staged
+    total = 0
+    for q_enc, q_acc, q_cond, pre, post in cases:
+        n = len(pre["q_sp"])
+        if n == 0:
+            continue
+        total += n
+        flat = (jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
+                jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
+                jnp.asarray(chunk.acc_off), jnp.asarray(chunk.cond_off))
+        # note: q side uses its own arrays
+        res = ungapped_extend_device(
+            jnp.asarray(pre["q_sp"]), jnp.asarray(pre["db_sp"]),
+            jnp.asarray(pre["q_len"]), jnp.asarray(pre["dbseq_id"]),
+            jnp.asarray(pre["dbseq_start"]),
+            jnp.asarray(pre["acc_e"], dtype=jnp.float32),
+            jnp.asarray(pre["hyb_e"], dtype=jnp.float32),
+            jnp.asarray(q_enc.astype(np.int32)),
+            jnp.asarray(chunk.seqs.astype(np.int32)),
+            (jnp.asarray(q_acc), jnp.asarray(q_cond),
+             jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
+             jnp.asarray(chunk.acc_off), jnp.asarray(chunk.cond_off)),
+            p.min_accessible_length, p.drop_out_length_wo_gap)
+
+        assert np.array_equal(np.asarray(res["q_sp"]), post["q_sp"])
+        assert np.array_equal(np.asarray(res["db_sp"]), post["db_sp"])
+        assert np.array_equal(np.asarray(res["q_len"]), post["q_len"])
+        assert np.array_equal(np.asarray(res["dbseq_start"]),
+                              post["dbseq_start"])
+        for k in ("acc_e", "hyb_e", "energy"):
+            np.testing.assert_allclose(np.asarray(res[k]), post[k],
+                                       atol=2e-4, rtol=1e-5)
+    assert total > 0
