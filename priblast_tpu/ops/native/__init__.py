@@ -76,6 +76,12 @@ def lib() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    so.rp_chain_from_hits.restype = ctypes.c_void_p
+    so.rp_chain_from_hits.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+         ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 6 +
+        [ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+         ctypes.c_int, ctypes.c_int, ctypes.c_int64] + [ctypes.c_void_p] * 9)
     so.rp_result_sizes.argtypes = [ctypes.c_void_p] * 3
     so.rp_result_copy.argtypes = [ctypes.c_void_p] * 13
     so.rp_result_free.argtypes = [ctypes.c_void_p]
@@ -153,6 +159,66 @@ def search_chunk(q_seq, q_sa, q_acc, q_cond, chunk, p, stage: int = 0):
     )
     if not handle:
         raise RuntimeError("rp_search_chunk failed (params not set?)")
+    try:
+        n_hits = ctypes.c_int64()
+        n_bps = ctypes.c_int64()
+        so.rp_result_sizes(handle, ctypes.byref(n_hits), ctypes.byref(n_bps))
+        n, b = n_hits.value, n_bps.value
+        out = {
+            "dbseq_id": np.empty(n, np.int32),
+            "dbseq_start": np.empty(n, np.int32),
+            "q_sp": np.empty(n, np.int32),
+            "db_sp": np.empty(n, np.int32),
+            "q_len": np.empty(n, np.int32),
+            "db_len": np.empty(n, np.int32),
+            "acc_e": np.empty(n, np.float64),
+            "hyb_e": np.empty(n, np.float64),
+            "energy": np.empty(n, np.float64),
+            "bp_off": np.empty(n + 1, np.int64),
+            "bp_q": np.empty(b, np.int32),
+            "bp_db": np.empty(b, np.int32),
+        }
+        so.rp_result_copy(handle, *[_ptr(out[k]) for k in (
+            "dbseq_id", "dbseq_start", "q_sp", "db_sp", "q_len", "db_len",
+            "acc_e", "hyb_e", "energy", "bp_off", "bp_q", "bp_db")])
+        if n == 0:
+            out["bp_off"][0] = 0
+        return out
+    finally:
+        so.rp_result_free(handle)
+
+
+def chain_from_hits(q_enc, q_acc, q_cond, chunk, p, hits):
+    """Resume the exact chain after device ungapped extension. `hits` is a
+    dict of SoA arrays (int32/float64)."""
+    so = lib()
+    n = len(hits["q_sp"])
+    arrs = {k: np.ascontiguousarray(hits[k], dtype=np.int32)
+            for k in ("dbseq_id", "dbseq_start", "q_sp", "db_sp", "q_len",
+                      "db_len")}
+    for k in ("acc_e", "hyb_e", "energy"):
+        arrs[k] = np.ascontiguousarray(hits[k], dtype=np.float64)
+    handle = so.rp_chain_from_hits(
+        _ptr(q_enc), ctypes.c_int(len(q_enc)), _ptr(q_acc), _ptr(q_cond),
+        _ptr(chunk.seqs), ctypes.c_int64(len(chunk.seqs)),
+        _ptr(chunk.acc), _ptr(chunk.cond), _ptr(chunk.acc_off),
+        _ptr(chunk.cond_off), _ptr(chunk.seq_sizes), _ptr(chunk.start_pos),
+        ctypes.c_int(chunk.n_seqs),
+        ctypes.c_int(p.min_accessible_length),
+        ctypes.c_double(p.interaction_energy_threshold),
+        ctypes.c_double(p.final_threshold),
+        ctypes.c_int(p.drop_out_length_w_gap),
+        ctypes.c_int(p.min_helix_length),
+        ctypes.c_int64(n),
+        *[_ptr(arrs[k]) for k in ("dbseq_id", "dbseq_start", "q_sp", "db_sp",
+                                  "q_len", "db_len", "acc_e", "hyb_e",
+                                  "energy")])
+    if not handle:
+        raise RuntimeError("rp_chain_from_hits failed")
+    return _copy_result(so, handle)
+
+
+def _copy_result(so, handle):
     try:
         n_hits = ctypes.c_int64()
         n_bps = ctypes.c_int64()

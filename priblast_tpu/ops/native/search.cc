@@ -875,6 +875,61 @@ extern "C" void *rp_search_chunk(
   return res;
 }
 
+// Resume the chain after an externally-computed ungapped extension (the
+// device kernel): sort, dedup, seed base pairs, gapped extension, final
+// dedup — identical to the tail of rp_search_chunk.
+extern "C" void *rp_chain_from_hits(
+    const uint8_t *q_seq, int q_n, const float *q_acc, const float *q_cond,
+    const uint8_t *db_seq, int64_t db_n, const float *db_acc,
+    const float *db_cond, const int64_t *db_acc_off,
+    const int64_t *db_cond_off, const int32_t *db_seq_len,
+    const int32_t *db_start_pos, int n_seqs, int min_acc_len,
+    double interaction_thr, double final_thr, int dropout_w_gap,
+    int min_helix, int64_t n_hits, const int32_t *dbseq_id,
+    const int32_t *dbseq_start, const int32_t *q_sp, const int32_t *db_sp,
+    const int32_t *q_len, const int32_t *db_len, const double *acc_e,
+    const double *hyb_e, const double *energy) {
+  if (!g.ready) return nullptr;
+  QueryView q{q_seq, q_n, nullptr, q_acc, q_cond};
+  DbChunkView db{db_seq,      db_n,        nullptr,     nullptr,
+                 nullptr,     db_acc,      db_cond,     db_acc_off,
+                 db_cond_off, db_seq_len,  db_start_pos, n_seqs};
+  SearchParams p{};
+  p.min_acc_len = min_acc_len;
+  p.interaction_thr = interaction_thr;
+  p.final_thr = final_thr;
+  p.dropout_w_gap = dropout_w_gap;
+  p.min_helix = min_helix;
+
+  auto *res = new ResultHandle;
+  res->hits.resize(n_hits);
+  for (int64_t i = 0; i < n_hits; i++) {
+    XHit &h = res->hits[i];
+    h.dbseq_id = dbseq_id[i];
+    h.dbseq_start = dbseq_start[i];
+    h.q_sp = q_sp[i];
+    h.db_sp = db_sp[i];
+    h.q_len = q_len[i];
+    h.db_len = db_len[i];
+    h.acc_e = acc_e[i];
+    h.hyb_e = hyb_e[i];
+    h.energy = energy[i];
+  }
+  std::sort(res->hits.begin(), res->hits.end(), hit_before);
+  drop_redundant(res->hits, p.interaction_thr);
+  collect_seed_bps(res->hits, q, db);
+  gapped_extend(res->hits, q, db, p);
+  for (size_t i = 1; i < res->hits.size(); i++) {
+    std::sort(res->hits[i].bps.begin(), res->hits[i].bps.end(),
+              [](const std::pair<int, int> &a, const std::pair<int, int> &b) {
+                return a.first < b.first;
+              });
+  }
+  std::sort(res->hits.begin(), res->hits.end(), hit_before);
+  drop_redundant(res->hits, p.final_thr);
+  return res;
+}
+
 extern "C" void rp_result_sizes(void *handle, int64_t *n_hits,
                                 int64_t *n_bps) {
   auto *res = (ResultHandle *)handle;

@@ -82,3 +82,17 @@ def test_paginated_db_and_ris(tmp_path, data_dir):
     a = open(out_a).read().splitlines()
     b = open(out_b).read().splitlines()
     assert a[2:] == b[2:]  # same hits; header db names differ
+
+
+def test_soft_mask_db_files(tmp_path, data_dir, golden_dir):
+    """repeat_flag=1 (soft mask) database files must be byte-identical;
+    (ris on soft-masked data exercises reference UB in base-pair recording
+    and is intentionally not golden-tested — see DESIGN.md)."""
+    import filecmp
+
+    db_name = str(tmp_path / "soft_db")
+    db_model.run(DbParams(input=str(data_dir / "small_db.fa"),
+                          db_name=db_name, repeat_flag=1, algorithm="block"))
+    for ext in ("bas", "seq", "ind", "acc", "nam"):
+        assert filecmp.cmp(f"{golden_dir}/soft/soft_db.{ext}",
+                           f"{db_name}.{ext}", shallow=False), ext

@@ -83,3 +83,48 @@ def test_device_ungapped_matches_exact(staged):
             np.testing.assert_allclose(np.asarray(res[k]), post[k],
                                        atol=2e-4, rtol=1e-5)
     assert total > 0
+
+
+def test_device_extend_full_chain(staged):
+    """stage1 -> device ungapped -> native chain resume == full exact chain
+    (extents/base pairs exact on this dataset; energies to f32 noise)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from priblast_tpu.search.ungapped import ungapped_extend_device
+
+    chunk, p, cases = staged
+    checked = 0
+    for q_enc, q_acc, q_cond, pre, _post in cases:
+        q_sa = native.sa_build(q_enc)
+        full = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunk, p)
+        n = len(pre["q_sp"])
+        if n == 0:
+            assert len(full["q_sp"]) == 0
+            continue
+        res = ungapped_extend_device(
+            jnp.asarray(pre["q_sp"]), jnp.asarray(pre["db_sp"]),
+            jnp.asarray(pre["q_len"]), jnp.asarray(pre["dbseq_id"]),
+            jnp.asarray(pre["dbseq_start"]),
+            jnp.asarray(pre["acc_e"], dtype=jnp.float32),
+            jnp.asarray(pre["hyb_e"], dtype=jnp.float32),
+            jnp.asarray(q_enc.astype(np.int32)),
+            jnp.asarray(chunk.seqs.astype(np.int32)),
+            (jnp.asarray(q_acc), jnp.asarray(q_cond),
+             jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
+             jnp.asarray(chunk.acc_off), jnp.asarray(chunk.cond_off)),
+            p.min_accessible_length, p.drop_out_length_wo_gap)
+        hits = {k: np.asarray(v) for k, v in res.items()}
+        hits["dbseq_id"] = pre["dbseq_id"]
+        out = native.chain_from_hits(q_enc, q_acc, q_cond, chunk, p, hits)
+        assert np.array_equal(out["q_sp"], full["q_sp"])
+        assert np.array_equal(out["db_sp"], full["db_sp"])
+        assert np.array_equal(out["q_len"], full["q_len"])
+        assert np.array_equal(out["bp_q"], full["bp_q"])
+        assert np.array_equal(out["bp_db"], full["bp_db"])
+        np.testing.assert_allclose(out["energy"], full["energy"],
+                                   atol=3e-4, rtol=1e-5)
+        checked += len(full["q_sp"])
+    assert checked > 0
