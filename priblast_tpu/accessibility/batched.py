@@ -1179,27 +1179,14 @@ def _run_batch_impl(w_span: int, min_acc_len: int, n_max: int, dtype_name: str,
     return acc.astype(jnp.float32), cond.astype(jnp.float32)
 
 
-_CACHE_SET = False
 
 
 def _enable_compile_cache() -> None:
     """Persistent compilation cache: the DP programs are large (~1-10 min
     TPU compiles); caching makes warm starts instant across processes."""
-    global _CACHE_SET
-    if _CACHE_SET:
-        return
-    _CACHE_SET = True
-    import os
+    from priblast_tpu.utils import jaxcache
 
-    try:
-        cache_dir = os.environ.get(
-            "PRIBLAST_JAX_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    jaxcache.enable()
 
 
 def _default_use_pallas() -> bool:

@@ -20,6 +20,15 @@ from priblast_tpu.utils import alphabet
 from priblast_tpu.utils.params import RisParams
 
 
+def device_extend_enabled() -> bool:
+    """Opt-in device extension chain (seed hits extended on-device via the
+    batched ungapped + gapped kernels instead of the host engine threads).
+    Off by default: the first TPU compile of the gapped DP is minutes (then
+    disk-cached), and the host engine overlaps with accessibility batches."""
+    return os.environ.get("PRIBLAST_DEVICE_EXTEND", "") not in ("", "0",
+                                                                "false")
+
+
 def run_queries(p: RisParams, chunks, names, seqs, order, results,
                 threads: int | None = None) -> None:
     from priblast_tpu.accessibility.batched import BatchedRaccess
@@ -30,6 +39,14 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
     threads = threads or min(32, os.cpu_count() or 1)
     lengths = [len(s) for s in seqs]
 
+    dev_extend = device_extend_enabled()
+    cdevs = None
+    if dev_extend:
+        from priblast_tpu.search import chain as dchain
+
+        cdevs = [dchain.ChunkDevice(c) for c in chunks]
+        threads = 1  # device extends serialize on the chip anyway
+
     def search_one(idx: int, q_acc, q_cond):
         seq = seqs[idx]
         q_enc = alphabet.encode_query(seq, p.repeat_flag)
@@ -38,6 +55,16 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
         lines: list[str] = []
         from priblast_tpu.models.ris import format_hits
 
+        if dev_extend:
+            from priblast_tpu.search import chain as dchain
+
+            qdev = dchain.QueryDevice(q_enc, q_acc, q_cond)
+            for chunk, cdev in zip(chunks, cdevs):
+                res = dchain.search_chunk_device(q_enc, q_sa, q_acc, q_cond,
+                                                 chunk, p, qdev=qdev,
+                                                 cdev=cdev)
+                lines.extend(format_hits(p, res, chunk, names[idx], q_length))
+            return lines
         for chunk in chunks:
             res = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunk, p)
             lines.extend(format_hits(p, res, chunk, names[idx], q_length))

@@ -82,6 +82,20 @@ def lib() -> ctypes.CDLL:
          ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 6 +
         [ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
          ctypes.c_int, ctypes.c_int, ctypes.c_int64] + [ctypes.c_void_p] * 9)
+    so.rp_chain_mid.restype = ctypes.c_void_p
+    so.rp_chain_mid.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+         ctypes.c_double, ctypes.c_int64] + [ctypes.c_void_p] * 9)
+    so.rp_gapped_extend.restype = ctypes.c_void_p
+    so.rp_gapped_extend.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+         ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 6 +
+        [ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+         ctypes.c_int64] + [ctypes.c_void_p] * 9)
+    so.rp_chain_finish.restype = ctypes.c_void_p
+    so.rp_chain_finish.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+         ctypes.c_double, ctypes.c_int64] + [ctypes.c_void_p] * 12)
     so.rp_result_sizes.argtypes = [ctypes.c_void_p] * 3
     so.rp_result_copy.argtypes = [ctypes.c_void_p] * 13
     so.rp_result_free.argtypes = [ctypes.c_void_p]
@@ -215,6 +229,74 @@ def chain_from_hits(q_enc, q_acc, q_cond, chunk, p, hits):
                                   "energy")])
     if not handle:
         raise RuntimeError("rp_chain_from_hits failed")
+    return _copy_result(so, handle)
+
+
+_HIT_KEYS = ("dbseq_id", "dbseq_start", "q_sp", "db_sp", "q_len", "db_len",
+             "acc_e", "hyb_e", "energy")
+
+
+def _hit_arrays(hits):
+    out = {k: np.ascontiguousarray(hits[k], dtype=np.int32)
+           for k in _HIT_KEYS[:6]}
+    for k in _HIT_KEYS[6:]:
+        out[k] = np.ascontiguousarray(hits[k], dtype=np.float64)
+    return out
+
+
+def chain_mid(q_enc, chunk, p, hits):
+    """Sort + interaction-threshold dedup + seed base pairs (the chain
+    between the ungapped and gapped extensions)."""
+    so = lib()
+    arrs = _hit_arrays(hits)
+    handle = so.rp_chain_mid(
+        _ptr(q_enc), ctypes.c_int(len(q_enc)),
+        _ptr(chunk.seqs), ctypes.c_int64(len(chunk.seqs)),
+        ctypes.c_double(p.interaction_energy_threshold),
+        ctypes.c_int64(len(arrs["q_sp"])),
+        *[_ptr(arrs[k]) for k in _HIT_KEYS])
+    if not handle:
+        raise RuntimeError("rp_chain_mid failed")
+    return _copy_result(so, handle)
+
+
+def gapped_extend(q_enc, q_acc, q_cond, chunk, p, hits):
+    """Host gapped extension (both flags, no dangles) for a hit subset —
+    the device kernel's oracle and its max_ext-overflow fallback."""
+    so = lib()
+    arrs = _hit_arrays(hits)
+    handle = so.rp_gapped_extend(
+        _ptr(q_enc), ctypes.c_int(len(q_enc)), _ptr(q_acc), _ptr(q_cond),
+        _ptr(chunk.seqs), ctypes.c_int64(len(chunk.seqs)),
+        _ptr(chunk.acc), _ptr(chunk.cond), _ptr(chunk.acc_off),
+        _ptr(chunk.cond_off), _ptr(chunk.seq_sizes), _ptr(chunk.start_pos),
+        ctypes.c_int(chunk.n_seqs),
+        ctypes.c_int(p.min_accessible_length),
+        ctypes.c_int(p.drop_out_length_w_gap),
+        ctypes.c_int(p.min_helix_length),
+        ctypes.c_int64(len(arrs["q_sp"])),
+        *[_ptr(arrs[k]) for k in _HIT_KEYS])
+    if not handle:
+        raise RuntimeError("rp_gapped_extend failed")
+    return _copy_result(so, handle)
+
+
+def chain_finish(q_enc, chunk, p, hits, bp_off, bp_q, bp_db):
+    """Dangles + per-hit bp sort + final sort + final-threshold dedup."""
+    so = lib()
+    arrs = _hit_arrays(hits)
+    bp_off = np.ascontiguousarray(bp_off, dtype=np.int64)
+    bp_q = np.ascontiguousarray(bp_q, dtype=np.int32)
+    bp_db = np.ascontiguousarray(bp_db, dtype=np.int32)
+    handle = so.rp_chain_finish(
+        _ptr(q_enc), ctypes.c_int(len(q_enc)),
+        _ptr(chunk.seqs), ctypes.c_int64(len(chunk.seqs)),
+        ctypes.c_double(p.final_threshold),
+        ctypes.c_int64(len(arrs["q_sp"])),
+        *[_ptr(arrs[k]) for k in _HIT_KEYS],
+        _ptr(bp_off), _ptr(bp_q), _ptr(bp_db))
+    if not handle:
+        raise RuntimeError("rp_chain_finish failed")
     return _copy_result(so, handle)
 
 

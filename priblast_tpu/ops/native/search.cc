@@ -752,11 +752,9 @@ static void gapped_extend_one(XHit &h, const QueryView &q,
   h.hyb_e = min_energy - min_a;
 }
 
-static void gapped_extend(std::vector<XHit> &hits, const QueryView &q,
-                          const DbChunkView &db, const SearchParams &p) {
+static void add_dangles(std::vector<XHit> &hits, const QueryView &q,
+                        const DbChunkView &db) {
   for (XHit &h : hits) {
-    gapped_extend_one(h, q, db, p, 0);
-    gapped_extend_one(h, q, db, p, 1);
     double e = h.energy, hh = h.hyb_e;
     const double d5 = dangle37(h.q_sp, h.db_sp, 0, q, db);
     const double d3 =
@@ -768,6 +766,15 @@ static void gapped_extend(std::vector<XHit> &hits, const QueryView &q,
     h.energy = e;
     h.hyb_e = hh;
   }
+}
+
+static void gapped_extend(std::vector<XHit> &hits, const QueryView &q,
+                          const DbChunkView &db, const SearchParams &p) {
+  for (XHit &h : hits) {
+    gapped_extend_one(h, q, db, p, 0);
+    gapped_extend_one(h, q, db, p, 1);
+  }
+  add_dangles(hits, q, db);
 }
 
 // hit ordering (reference: rna_interaction_search.cpp:45-55)
@@ -927,6 +934,121 @@ extern "C" void *rp_chain_from_hits(
   }
   std::sort(res->hits.begin(), res->hits.end(), hit_before);
   drop_redundant(res->hits, p.final_thr);
+  return res;
+}
+
+static void load_hits(std::vector<XHit> &hits, int64_t n,
+                      const int32_t *dbseq_id, const int32_t *dbseq_start,
+                      const int32_t *q_sp, const int32_t *db_sp,
+                      const int32_t *q_len, const int32_t *db_len,
+                      const double *acc_e, const double *hyb_e,
+                      const double *energy) {
+  hits.resize(n);
+  for (int64_t i = 0; i < n; i++) {
+    XHit &h = hits[i];
+    h.dbseq_id = dbseq_id[i];
+    h.dbseq_start = dbseq_start[i];
+    h.q_sp = q_sp[i];
+    h.db_sp = db_sp[i];
+    h.q_len = q_len[i];
+    h.db_len = db_len[i];
+    h.acc_e = acc_e[i];
+    h.hyb_e = hyb_e[i];
+    h.energy = energy[i];
+  }
+}
+
+// Middle of the chain for the device-extend path: post-ungapped hits ->
+// sort, interaction-threshold dedup, seed base pairs (the part of
+// rp_chain_from_hits before the gapped extension).
+extern "C" void *rp_chain_mid(const uint8_t *q_seq, int q_n,
+                              const uint8_t *db_seq, int64_t db_n,
+                              double interaction_thr, int64_t n_hits,
+                              const int32_t *dbseq_id,
+                              const int32_t *dbseq_start, const int32_t *q_sp,
+                              const int32_t *db_sp, const int32_t *q_len,
+                              const int32_t *db_len, const double *acc_e,
+                              const double *hyb_e, const double *energy) {
+  if (!g.ready) return nullptr;
+  QueryView q{q_seq, q_n, nullptr, nullptr, nullptr};
+  DbChunkView db{};
+  db.seq = db_seq;
+  db.n = db_n;
+  auto *res = new ResultHandle;
+  load_hits(res->hits, n_hits, dbseq_id, dbseq_start, q_sp, db_sp, q_len,
+            db_len, acc_e, hyb_e, energy);
+  std::sort(res->hits.begin(), res->hits.end(), hit_before);
+  drop_redundant(res->hits, interaction_thr);
+  collect_seed_bps(res->hits, q, db);
+  return res;
+}
+
+// Host gapped extension for a hit subset (device-kernel oracle and
+// max_ext-overflow fallback). No dangle energies; base pairs returned are
+// the gapped tracebacks only.
+extern "C" void *rp_gapped_extend(
+    const uint8_t *q_seq, int q_n, const float *q_acc, const float *q_cond,
+    const uint8_t *db_seq, int64_t db_n, const float *db_acc,
+    const float *db_cond, const int64_t *db_acc_off,
+    const int64_t *db_cond_off, const int32_t *db_seq_len,
+    const int32_t *db_start_pos, int n_seqs, int min_acc_len,
+    int dropout_w_gap, int min_helix, int64_t n_hits,
+    const int32_t *dbseq_id, const int32_t *dbseq_start, const int32_t *q_sp,
+    const int32_t *db_sp, const int32_t *q_len, const int32_t *db_len,
+    const double *acc_e, const double *hyb_e, const double *energy) {
+  if (!g.ready) return nullptr;
+  QueryView q{q_seq, q_n, nullptr, q_acc, q_cond};
+  DbChunkView db{db_seq,      db_n,       nullptr,      nullptr,
+                 nullptr,     db_acc,     db_cond,      db_acc_off,
+                 db_cond_off, db_seq_len, db_start_pos, n_seqs};
+  SearchParams p{};
+  p.min_acc_len = min_acc_len;
+  p.dropout_w_gap = dropout_w_gap;
+  p.min_helix = min_helix;
+  auto *res = new ResultHandle;
+  load_hits(res->hits, n_hits, dbseq_id, dbseq_start, q_sp, db_sp, q_len,
+            db_len, acc_e, hyb_e, energy);
+  for (XHit &h : res->hits) {
+    gapped_extend_one(h, q, db, p, 0);
+    gapped_extend_one(h, q, db, p, 1);
+  }
+  return res;
+}
+
+// Tail of the chain for the device-extend path: post-gapped hits with their
+// base-pair lists (seed bps + both tracebacks, in reference push order) ->
+// dangle energies, per-hit bp sort (hits 1..n-1 only, a reference parity
+// quirk), final sort, final-threshold dedup.
+extern "C" void *rp_chain_finish(
+    const uint8_t *q_seq, int q_n, const uint8_t *db_seq, int64_t db_n,
+    double final_thr, int64_t n_hits, const int32_t *dbseq_id,
+    const int32_t *dbseq_start, const int32_t *q_sp, const int32_t *db_sp,
+    const int32_t *q_len, const int32_t *db_len, const double *acc_e,
+    const double *hyb_e, const double *energy, const int64_t *bp_off,
+    const int32_t *bp_q, const int32_t *bp_db) {
+  if (!g.ready) return nullptr;
+  QueryView q{q_seq, q_n, nullptr, nullptr, nullptr};
+  DbChunkView db{};
+  db.seq = db_seq;
+  db.n = db_n;
+  auto *res = new ResultHandle;
+  load_hits(res->hits, n_hits, dbseq_id, dbseq_start, q_sp, db_sp, q_len,
+            db_len, acc_e, hyb_e, energy);
+  for (int64_t i = 0; i < n_hits; i++) {
+    XHit &h = res->hits[i];
+    h.bps.reserve(bp_off[i + 1] - bp_off[i]);
+    for (int64_t b = bp_off[i]; b < bp_off[i + 1]; b++)
+      h.bps.emplace_back(bp_q[b], bp_db[b]);
+  }
+  add_dangles(res->hits, q, db);
+  for (size_t i = 1; i < res->hits.size(); i++) {
+    std::sort(res->hits[i].bps.begin(), res->hits[i].bps.end(),
+              [](const std::pair<int, int> &a, const std::pair<int, int> &b) {
+                return a.first < b.first;
+              });
+  }
+  std::sort(res->hits.begin(), res->hits.end(), hit_before);
+  drop_redundant(res->hits, final_thr);
   return res;
 }
 

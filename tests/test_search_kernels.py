@@ -85,6 +85,71 @@ def test_device_ungapped_matches_exact(staged):
     assert total > 0
 
 
+def test_device_gapped_matches_host_oracle(staged):
+    """mid hits -> device gapped DP + host traceback == host gapped engine
+    (extents, dbseq_start, base pairs exact; energies to accumulation
+    noise)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from priblast_tpu.search.chain import ChunkDevice, QueryDevice
+    from priblast_tpu.search.gapped import gapped_extend_batch
+
+    chunk, p, cases = staged
+    cdev = ChunkDevice(chunk)
+    total = 0
+    for q_enc, q_acc, q_cond, _pre, post in cases:
+        if len(post["q_sp"]) == 0:
+            continue
+        mid = native.chain_mid(q_enc, chunk, p, post)
+        if len(mid["q_sp"]) == 0:
+            continue
+        ref = native.gapped_extend(q_enc, q_acc, q_cond, chunk, p, mid)
+        qdev = QueryDevice(q_enc, q_acc, q_cond)
+        gx, gbps, ovf = gapped_extend_batch(
+            mid, qdev.enc, cdev.seqs, qdev.acc, qdev.cond, cdev.acc,
+            cdev.cond, cdev.acc_off, cdev.cond_off,
+            d=p.min_accessible_length, dropout=p.drop_out_length_w_gap,
+            min_helix=p.min_helix_length, max_ext=64, dtype="float64")
+        assert not ovf.any()
+        for k in ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start"):
+            assert np.array_equal(gx[k], ref[k]), k
+        np.testing.assert_allclose(gx["energy"], ref["energy"], atol=1e-9)
+        np.testing.assert_allclose(gx["acc_e"], ref["acc_e"], atol=1e-9)
+        for i in range(len(mid["q_sp"])):
+            lo, hi = ref["bp_off"][i], ref["bp_off"][i + 1]
+            assert gbps[i] == list(zip(ref["bp_q"][lo:hi].tolist(),
+                                       ref["bp_db"][lo:hi].tolist()))
+        total += len(mid["q_sp"])
+    assert total > 0
+
+
+def test_device_chain_end_to_end(staged):
+    """search_chunk_device (device ungapped + device gapped) == the full
+    native chain: hit set, extents and base pairs exact."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from priblast_tpu.search.chain import QueryDevice, search_chunk_device
+
+    chunk, p, cases = staged
+    checked = 0
+    for q_enc, q_acc, q_cond, _pre, _post in cases:
+        q_sa = native.sa_build(q_enc)
+        full = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunk, p)
+        out = search_chunk_device(q_enc, q_sa, q_acc, q_cond, chunk, p,
+                                  dtype="float64",
+                                  qdev=QueryDevice(q_enc, q_acc, q_cond))
+        for k in ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start",
+                  "dbseq_id", "bp_q", "bp_db", "bp_off"):
+            assert np.array_equal(out[k], full[k]), k
+        np.testing.assert_allclose(out["energy"], full["energy"], atol=3e-4)
+        checked += len(full["q_sp"])
+    assert checked > 0
+
+
 def test_device_extend_full_chain(staged):
     """stage1 -> device ungapped -> native chain resume == full exact chain
     (extents/base pairs exact on this dataset; energies to f32 noise)."""
