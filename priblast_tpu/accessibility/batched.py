@@ -1173,8 +1173,6 @@ def _run_batch_impl(w_span: int, min_acc_len: int, n_max: int, dtype_name: str,
     # acc[x-1] = acc_x[x]; cond[x+w-1] = cond_x[x]
     acc = jnp.transpose(acc_x[1 : n_max + 1])            # [B, N]
     cond = jnp.transpose(
-        jnp.pad(cond_x, ((0, w), (0, 0)))[1 + w - 2 * 0:, :])  # fixed below
-    cond = jnp.transpose(
         _shift_cols(cond_x, w)[1 : n_max + 1])
     return acc.astype(jnp.float32), cond.astype(jnp.float32)
 

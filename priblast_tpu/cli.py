@@ -56,12 +56,25 @@ def _ris_parser(sub) -> None:
     q.add_argument("--threads", dest="threads", type=int, default=0)
 
 
+def _apply_platform() -> None:
+    """Honor PRIBLAST_PLATFORM (cpu/tpu/...) through the config API, which
+    wins over site hooks that re-pin the JAX_PLATFORMS env variable."""
+    import os
+
+    plat = os.environ.get("PRIBLAST_PLATFORM", "")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="priblast_tpu")
     sub = ap.add_subparsers(dest="mode", required=True)
     _db_parser(sub)
     _ris_parser(sub)
     ns = ap.parse_args(argv)
+    _apply_platform()
 
     if ns.mode == "db":
         from priblast_tpu.models import db

@@ -1,11 +1,15 @@
 """TPU path of the ris step.
 
-Query accessibilities are computed on-device in length-bucketed batches
-(the per-query hot DP, reference: src/rna_interaction_search.cpp:175); the
-seed-and-extend chain then runs on the host engine threads, overlapping with
-the next accessibility batch. Hit semantics are identical to the exact
-engine; only the accessibility values carry the f32 engine's ~1e-4 kcal/mol
-deviation (use --engine exact for byte parity)."""
+Per wave of queries: accessibility runs on-device in length-bucketed
+batches (the per-query hot DP, reference: src/rna_interaction_search.cpp:175),
+then the staged cross-query search pipeline (search/pipeline.py) extends
+every (query, chunk) hit stream with the device ungapped + gapped kernels —
+host threads only run the cheap seed/dedup/finish stages. Hit semantics are
+identical to the exact engine; only the energies carry the f32 engine's
+~1e-4 kcal/mol deviation (use --engine exact for byte parity).
+
+Set PRIBLAST_DEVICE_EXTEND=0 to fall back to the host extension chain
+(device accessibility + native C++ seed-and-extend per query)."""
 
 from __future__ import annotations
 
@@ -17,16 +21,52 @@ import numpy as np
 from priblast_tpu.models import db_tpu
 from priblast_tpu.ops import native
 from priblast_tpu.utils import alphabet
+from priblast_tpu.utils import profiling as prof
 from priblast_tpu.utils.params import RisParams
 
 
 def device_extend_enabled() -> bool:
-    """Opt-in device extension chain (seed hits extended on-device via the
-    batched ungapped + gapped kernels instead of the host engine threads).
-    Off by default: the first TPU compile of the gapped DP is minutes (then
-    disk-cached), and the host engine overlaps with accessibility batches."""
-    return os.environ.get("PRIBLAST_DEVICE_EXTEND", "") not in ("", "0",
-                                                                "false")
+    """Device extension chain (seed hits extended on-device via the batched
+    ungapped + gapped kernels instead of the host engine threads). On by
+    default — the first TPU compile is slow but disk-cached."""
+    return os.environ.get("PRIBLAST_DEVICE_EXTEND", "1") not in ("0",
+                                                                 "false")
+
+
+def _wave_plan(order, lengths, max_nt: int = 4 << 20, max_q: int = 1024):
+    """Split queries (descending-length order) into waves bounded by total
+    nucleotides and count, so flat device buffers stay bounded and early
+    waves start while later ones wait."""
+    wave: list[int] = []
+    nt = 0
+    for idx in order:
+        if wave and (nt + lengths[idx] > max_nt or len(wave) >= max_q):
+            yield wave
+            wave, nt = [], 0
+        wave.append(idx)
+        nt += lengths[idx]
+    if wave:
+        yield wave
+
+
+def _accessibility_batched(engine, seqs, lengths, idxs):
+    """Device accessibility for the given query indices; returns
+    {idx: (acc, cond)} float32 arrays of per-sequence length."""
+    out = {}
+    for group, bsz, padded in db_tpu.plan_batches(
+            [lengths[i] for i in idxs]):
+        codes = np.zeros((bsz, padded), np.uint8)
+        lens = np.zeros(bsz, np.int32)
+        sel = [idxs[g] for g in group]
+        for bi, idx in enumerate(sel):
+            codes[bi, : lengths[idx]] = alphabet.access_codes(seqs[idx])
+            lens[bi] = lengths[idx]
+        acc, cond = engine.run(codes, lens)
+        for bi, idx in enumerate(sel):
+            ln = lengths[idx]
+            out[idx] = (np.ascontiguousarray(acc[bi, :ln]),
+                        np.ascontiguousarray(cond[bi, :ln]))
+    return out
 
 
 def run_queries(p: RisParams, chunks, names, seqs, order, results,
@@ -38,52 +78,53 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
     native.lib()
     threads = threads or min(32, os.cpu_count() or 1)
     lengths = [len(s) for s in seqs]
-
     dev_extend = device_extend_enabled()
-    cdevs = None
+
     if dev_extend:
-        from priblast_tpu.search import chain as dchain
+        from priblast_tpu.search import pipeline as pl
 
-        cdevs = [dchain.ChunkDevice(c) for c in chunks]
-        threads = 1  # device extends serialize on the chip anyway
+        dbpack = pl.DbPack(chunks)
 
-    def search_one(idx: int, q_acc, q_cond):
-        seq = seqs[idx]
-        q_enc = alphabet.encode_query(seq, p.repeat_flag)
-        q_sa = native.sa_build(q_enc)
-        q_length = int(np.count_nonzero((q_enc >= 2) & (q_enc <= 5)))
+    from priblast_tpu.models.ris import format_hits
+
+    def host_search(idx, q_enc, q_sa, q_acc, q_cond):
         lines: list[str] = []
-        from priblast_tpu.models.ris import format_hits
-
-        if dev_extend:
-            from priblast_tpu.search import chain as dchain
-
-            qdev = dchain.QueryDevice(q_enc, q_acc, q_cond)
-            for chunk, cdev in zip(chunks, cdevs):
-                res = dchain.search_chunk_device(q_enc, q_sa, q_acc, q_cond,
-                                                 chunk, p, qdev=qdev,
-                                                 cdev=cdev)
-                lines.extend(format_hits(p, res, chunk, names[idx], q_length))
-            return lines
+        q_length = int(np.count_nonzero((q_enc >= 2) & (q_enc <= 5)))
         for chunk in chunks:
             res = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunk, p)
             lines.extend(format_hits(p, res, chunk, names[idx], q_length))
         return lines
 
-    with cf.ThreadPoolExecutor(threads) as ex:
-        futs = {}
-        for group, bsz, padded in db_tpu.plan_batches(lengths,
-                                                      batch_size=16):
-            codes = np.zeros((bsz, padded), np.uint8)
-            lens = np.zeros(bsz, np.int32)
-            for bi, idx in enumerate(group):
-                codes[bi, : lengths[idx]] = alphabet.access_codes(seqs[idx])
-                lens[bi] = lengths[idx]
-            acc, cond = engine.run(codes, lens)
-            for bi, idx in enumerate(group):
-                ln = lengths[idx]
-                qa = np.ascontiguousarray(acc[bi, :ln])
-                qc = np.ascontiguousarray(cond[bi, :ln])
-                futs[ex.submit(search_one, idx, qa, qc)] = idx
-        for f in cf.as_completed(futs):
-            results[futs[f]] = f.result()
+    for wave in _wave_plan(order, lengths):
+        with prof.stage("ris.accessibility"):
+            accs = _accessibility_batched(engine, seqs, lengths, wave)
+        queries = []
+        for idx in wave:
+            q_enc = alphabet.encode_query(seqs[idx], p.repeat_flag)
+            q_sa = native.sa_build(q_enc)
+            q_acc, q_cond = accs[idx]
+            queries.append((q_enc, q_sa, q_acc, q_cond))
+
+        if not dev_extend:
+            with cf.ThreadPoolExecutor(threads) as ex:
+                futs = {ex.submit(host_search, idx, *queries[k]): idx
+                        for k, idx in enumerate(wave)}
+                for f in cf.as_completed(futs):
+                    results[futs[f]] = f.result()
+            continue
+
+        qpack = pl.QueryPack([q[0].astype(np.int32) for q in queries],
+                             [q[2] for q in queries],
+                             [q[3] for q in queries])
+        stream, finished = pl.search_all(p, chunks, queries, qpack, dbpack,
+                                         threads=threads)
+        with prof.stage("ris.format"):
+            per_query: dict[int, list[str]] = {idx: [] for idx in wave}
+            for (qid, cid, _lo, _hi), res in zip(stream.groups, finished):
+                idx = wave[qid]
+                q_length = int(np.count_nonzero(
+                    (queries[qid][0] >= 2) & (queries[qid][0] <= 5)))
+                per_query[idx].extend(
+                    format_hits(p, res, chunks[cid], names[idx], q_length))
+            for idx in wave:
+                results[idx] = per_query[idx]

@@ -861,6 +861,27 @@ extern "C" void *rp_search_chunk(
   auto *res = new ResultHandle;
   SeedSearcher seeder(q, db, p);
   seeder.run();
+  if (stage == 4) {
+    // raw seed candidates (SA interval pairs), packed into XHit fields for
+    // the shared copy ABI: q_sp/db_sp = query interval, q_len/db_len = db
+    // interval, dbseq_id = seed length, hyb_e = hybrid energy. Consumed by
+    // the device expansion stage (search/seed.py).
+    res->hits.reserve(seeder.out.size());
+    for (const SeedCandidate &c : seeder.out) {
+      XHit h;
+      h.q_sp = c.sp_q;
+      h.db_sp = c.ep_q;
+      h.q_len = c.sp_db;
+      h.db_len = c.ep_db;
+      h.dbseq_id = c.length;
+      h.dbseq_start = 0;
+      h.acc_e = 0.0;
+      h.hyb_e = c.energy;
+      h.energy = c.energy;
+      res->hits.push_back(std::move(h));
+    }
+    return res;
+  }
   expand_candidates(seeder.out, q, db, p, res->hits);
   if (stage == 1) return res;  // pre-ungapped hits (for kernel validation)
   ungapped_extend(res->hits, q, db, p);

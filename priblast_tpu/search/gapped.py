@@ -1,4 +1,4 @@
-"""Batched gapped extension on device (JAX).
+"""Batched gapped extension on device (JAX), over flattened buffers.
 
 Reference semantics: src/gapped_extension.cpp:33-319 (mirrored by the
 validated native engine, ops/native/search.cc gapped_extend_one). The
@@ -14,8 +14,14 @@ argmin reproduces the reference's strict-< scan tie-breaking exactly.
 Fixed-bound formulation: extension is capped at `max_ext` diagonals; hits
 still active at the cap are flagged `overflow` and the caller re-runs them
 on the host engine (rare — the reference's own dropout rule terminates when
-no minimum improves for `dropout` diagonals). Traceback is done on the host
-from the returned predecessor-link matrix.
+no minimum improves for `dropout` diagonals).
+
+Hits are batched ACROSS queries and db chunks: per-hit base offsets locate
+each hit's query/chunk region inside flattened device buffers (see
+search/ungapped.py for the packing contract). Traceback runs on device as a
+fixed-length scan over the predecessor-link matrix, so only the (short)
+base-pair offset lists come back to the host — not the [B, diag, lane] link
+matrix itself.
 
 Buffers are diagonal-indexed with a (dropout+2)-row front pad, so the
 predecessor window of diagonal L is a single dynamic slice starting at row
@@ -123,21 +129,26 @@ def _take(arr2d, idx):
                    static_argnames=("flag", "d", "dropout", "min_helix",
                                     "max_ext", "dtype"))
 def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
-                         dbseq_id, valid, q_enc, db_seq, q_acc, q_cond,
-                         db_acc, db_cond, acc_off, cond_off, *, flag: int,
+                         valid, qb, qab, dbb, aoff, coff,
+                         q_enc, db_seq, q_acc, q_cond,
+                         db_acc, db_cond, *, flag: int,
                          d: int, dropout: int, min_helix: int, max_ext: int,
                          dtype: str = "float32"):
     """One direction (flag 0 = left, 1 = right) of the gapped extension for
-    a batch of hits.
+    a batch of hits over flattened buffers.
 
-    q_start/db_start: the fixed extension origins (reference
-    gapped_extension.cpp:88-98 — flag 0: hit start points; flag 1: hit end
-    points). id_anchor: db-accessibility anchor (flag 0: dbseq_start +
-    db_len - 1; flag 1: dbseq_start). energy0/acc0: the hit's current total
-    and accessibility energies. Returns per-hit argmin extension amounts
-    (min_i on the query side, min_j on the db side; 0 = no improvement),
-    updated energies, the packed predecessor-link matrix for host traceback,
-    and an `overflow` flag for hits that were still active at max_ext.
+    q_start/db_start: the fixed extension origins in query-local /
+    chunk-local coordinates (reference gapped_extension.cpp:88-98 — flag 0:
+    hit start points; flag 1: hit end points). id_anchor: db-accessibility
+    anchor (flag 0: dbseq_start + db_len - 1; flag 1: dbseq_start).
+    energy0/acc0: the hit's current total and accessibility energies.
+    qb/qab/dbb: per-hit base offsets into the flat encoded-query, flat
+    query-accessibility and flat db-sequence buffers; aoff/coff: absolute
+    offsets of the hit's db sequence's accessibility arrays. Returns
+    per-hit argmin extension amounts (min_i on the query side, min_j on the
+    db side; 0 = no improvement), updated energies, the traceback offset
+    lists (tb_i/tb_j, in reference push order, 0-terminated), and an
+    `overflow` flag for hits that were still active at max_ext.
     """
     dt = jnp.float64 if dtype == "float64" else jnp.float32
     t = {k: (jnp.asarray(v, dt) if np.asarray(v).dtype == np.float64
@@ -153,8 +164,8 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
     sign = -1 if flag == 0 else 1
 
     # --- per-hit precomputation (offset-indexed views of both sequences)
-    q_raw, qm = _gather_chars(q_enc, q_start, sign, XW)
-    db_raw, dm = _gather_chars(db_seq, db_start, sign, XW)
+    q_raw, qm = _gather_chars(q_enc, qb + q_start, sign, XW)
+    db_raw, dm = _gather_chars(db_seq, dbb + db_start, sign, XW)
 
     # boundary offsets (reference: gapped_extension.cpp:111-134); the first
     # blocked offset >= 1 bounds the extension at that offset - 1
@@ -171,8 +182,8 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
     # entry is computed in float32 and widened, as in the reference.
     x1 = jnp.arange(XW, dtype=jnp.int32)
     nq = q_acc.shape[0]
-    aoff = acc_off[dbseq_id].astype(jnp.int32)
-    coff = cond_off[dbseq_id].astype(jnp.int32)
+    aoff = aoff.astype(jnp.int32)
+    coff = coff.astype(jnp.int32)
     nda, ndc = db_acc.shape[0], db_cond.shape[0]
 
     def g1(arr, idx, size):
@@ -187,13 +198,14 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         return full.at[:, 1].set(f32[:, 1])
 
     if flag == 0:
-        posq = q_start[:, None] - x1[None, :]
+        posq = (qab + q_start)[:, None] - x1[None, :]
         incq = inc3(g1(q_acc, posq, nq), g1(q_acc, posq + 1, nq),
                     g1(q_cond, posq + d, nq))
         incdb = g1(db_cond, coff[:, None] + id_anchor[:, None] + x1[None, :],
                    ndc).astype(dt)
     else:
-        incq = g1(q_cond, q_start[:, None] + x1[None, :], nq).astype(dt)
+        incq = g1(q_cond, (qab + q_start)[:, None] + x1[None, :],
+                  nq).astype(dt)
         posd = aoff[:, None] + id_anchor[:, None] - x1[None, :]
         posc = coff[:, None] + id_anchor[:, None] - x1[None, :]
         incdb = inc3(g1(db_acc, posd, nda), g1(db_acc, posd + 1, nda),
@@ -441,23 +453,47 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
               min_a=acc0.astype(dt),
               hyb=hyb_buf, st=st_buf, mt=mt_buf, adm=adm_buf, pred=pred_buf)
     st = lax.while_loop(lambda s: jnp.any(s["active"]), body, st)
+
+    # --- device traceback (reference: gapped_extension.cpp:409-424): walk
+    # the predecessor links from (min_i, min_j); every step decreases the
+    # diagonal by >= 2, so max_ext // 2 + 1 steps always reach the origin.
+    # Emitted (ti, tj) offset pairs are in reference push order.
+    pred_flat = st["pred"].reshape(B, DD * W)
+
+    def tb_step(carry, _):
+        ti, tj = carry
+        live = (ti != 0) & (tj != 0)
+        packed = jnp.take_along_axis(
+            pred_flat, ((ti + tj + OFF) * W + ti)[:, None], axis=1)[:, 0]
+        packed = jnp.maximum(packed, 0)
+        nti = jnp.where(live, packed // (max_ext + 1), 0)
+        ntj = jnp.where(live, packed % (max_ext + 1), 0)
+        return (nti.astype(jnp.int32), ntj.astype(jnp.int32)), \
+            (jnp.where(live, ti, 0), jnp.where(live, tj, 0))
+
+    (_, _), (tb_i, tb_j) = lax.scan(tb_step, (st["min_i"], st["min_j"]),
+                                    None, length=max_ext // 2 + 1)
     return dict(min_i=st["min_i"], min_j=st["min_j"], min_e=st["min_e"],
                 min_a=st["min_a"], overflow=st["ovf"],
-                pred=st["pred"][:, OFF:, :])
+                tb_i=tb_i.T, tb_j=tb_j.T)
 
 
-def gapped_extend_batch(hits, q_enc_j, db_seq_j, q_acc_j, q_cond_j, db_acc_j,
-                        db_cond_j, acc_off_j, cond_off_j, *, d: int,
-                        dropout: int, min_helix: int, max_ext: int = 64,
-                        dtype: str = "float32", pad_to: int | None = None):
-    """Both extension directions for a hit batch (SoA numpy dict from
-    chain_mid), device DP + host traceback. Returns (updated hit dict,
-    per-hit gapped base-pair lists in reference push order, overflow mask).
-    Hits flagged overflow are NOT extended here — the caller must re-run
-    them on the host engine from their pre-extension state.
+def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
+                             dropout: int, min_helix: int, max_ext: int = 64,
+                             dtype: str = "float32",
+                             pad_to: int | None = None):
+    """Both extension directions for a hit batch (SoA numpy dict carrying
+    per-hit base offsets qb/qab/dbb/aoff/coff), device DP + device
+    traceback. Returns (updated hit dict, bp dict, overflow mask). The bp
+    dict holds the gapped base pairs in reference push order as flattened
+    arrays: n0/q0/db0 for the left extension (per-hit counts + coords) and
+    n1/q1/db1 for the right. Hits flagged overflow are NOT extended here —
+    the caller must re-run them on the host engine from their pre-extension
+    state.
 
-    The *_j arrays are jnp device copies (int32 sequences, f32
-    accessibility, int64 offsets); reference: gapped_extension.cpp:41-67.
+    qbufs = (q_enc_flat, q_acc_flat, q_cond_flat) and dbufs = (db_seq_flat,
+    db_acc_flat, db_cond_flat) are jnp device copies; reference:
+    gapped_extension.cpp:41-67.
     """
     n = len(hits["q_sp"])
     B = pad_to or max(8, 1 << (n - 1).bit_length())
@@ -473,76 +509,63 @@ def gapped_extend_batch(hits, q_enc_j, db_seq_j, q_acc_j, q_cond_j, db_acc_j,
     q_len = pad(hits["q_len"], np.int32, 1)
     db_len = pad(hits["db_len"], np.int32, 1)
     ids = pad(hits["dbseq_start"], np.int32)
-    dbid = pad(hits["dbseq_id"], np.int32)
     energy = pad(hits["energy"], np.float64)
     acc_e = pad(hits["acc_e"], np.float64)
+    bases = [jnp.asarray(pad(hits[k], np.int32))
+             for k in ("qb", "qab", "dbb", "aoff", "coff")]
     valid = np.zeros(B, bool)
     valid[:n] = True
 
     kw = dict(d=d, dropout=dropout, min_helix=min_helix, max_ext=max_ext,
               dtype=dtype)
-    seqs = (q_enc_j, db_seq_j, q_acc_j, q_cond_j, db_acc_j, db_cond_j,
-            acc_off_j, cond_off_j)
+    # kernel buffer order: q_enc, db_seq, q_acc, q_cond, db_acc, db_cond
+    seqs = (qbufs[0], dbufs[0], qbufs[1], qbufs[2], dbufs[1], dbufs[2])
+
+    def coords(r, q0, db0, sgn):
+        """Vectorized traceback coordinates in push order."""
+        tb_i = np.asarray(r["tb_i"])[:n]
+        tb_j = np.asarray(r["tb_j"])[:n]
+        mask = (tb_i > 0) & (tb_j > 0)
+        cq = (q0[:n, None] + sgn * tb_i)[mask]
+        cdb = (db0[:n, None] + sgn * tb_j)[mask]
+        return dict(n=mask.sum(axis=1).astype(np.int64),
+                    q=cq.astype(np.int32), db=cdb.astype(np.int32))
 
     # ---- left (flag 0)
     r0 = gapped_extend_device(
         jnp.asarray(q_sp), jnp.asarray(db_sp),
         jnp.asarray(ids + db_len - 1), jnp.asarray(energy),
-        jnp.asarray(acc_e), jnp.asarray(dbid), jnp.asarray(valid), *seqs,
+        jnp.asarray(acc_e), jnp.asarray(valid), *bases, *seqs,
         flag=0, **kw)
-    r0 = {k: np.asarray(v) for k, v in r0.items()}
-    bps = [[] for _ in range(n)]
-    for b in range(n):
-        if r0["min_i"][b] > 0 and r0["min_j"][b] > 0:
-            bps[b] += traceback_host(r0["pred"][b], r0["min_i"][b],
-                                     r0["min_j"][b], q_sp[b], db_sp[b], 0,
-                                     max_ext)
-    q_sp2 = q_sp - r0["min_i"]
-    db_sp2 = db_sp - r0["min_j"]
-    q_len2 = q_len + r0["min_i"]
-    db_len2 = db_len + r0["min_j"]
-    e2 = r0["min_e"].astype(np.float64)
-    a2 = r0["min_a"].astype(np.float64)
+    bp0 = coords(r0, q_sp, db_sp, -1)
+    m_i0 = np.asarray(r0["min_i"])
+    m_j0 = np.asarray(r0["min_j"])
+    q_sp2 = q_sp - m_i0
+    db_sp2 = db_sp - m_j0
+    q_len2 = q_len + m_i0
+    db_len2 = db_len + m_j0
+    e2 = np.asarray(r0["min_e"]).astype(np.float64)
+    a2 = np.asarray(r0["min_a"]).astype(np.float64)
 
     # ---- right (flag 1), from the post-left extents
     r1 = gapped_extend_device(
         jnp.asarray(q_sp2 + q_len2 - 1), jnp.asarray(db_sp2 + db_len2 - 1),
         jnp.asarray(ids), jnp.asarray(e2), jnp.asarray(a2),
-        jnp.asarray(dbid), jnp.asarray(valid), *seqs, flag=1, **kw)
-    r1 = {k: np.asarray(v) for k, v in r1.items()}
-    for b in range(n):
-        if r1["min_i"][b] > 0 and r1["min_j"][b] > 0:
-            bps[b] += traceback_host(r1["pred"][b], r1["min_i"][b],
-                                     r1["min_j"][b],
-                                     int(q_sp2[b] + q_len2[b] - 1),
-                                     int(db_sp2[b] + db_len2[b] - 1), 1,
-                                     max_ext)
+        jnp.asarray(valid), *bases, *seqs, flag=1, **kw)
+    bp1 = coords(r1, q_sp2 + q_len2 - 1, db_sp2 + db_len2 - 1, 1)
+    m_i1 = np.asarray(r1["min_i"])
+    m_j1 = np.asarray(r1["min_j"])
 
     out = dict(hits)
     out["q_sp"] = q_sp2[:n]
     out["db_sp"] = db_sp2[:n]
-    out["q_len"] = (q_len2 + r1["min_i"])[:n]
-    out["db_len"] = (db_len2 + r1["min_j"])[:n]
-    out["dbseq_start"] = (ids - r1["min_j"])[:n]
-    out["energy"] = r1["min_e"].astype(np.float64)[:n]
-    out["acc_e"] = r1["min_a"].astype(np.float64)[:n]
+    out["q_len"] = (q_len2 + m_i1)[:n]
+    out["db_len"] = (db_len2 + m_j1)[:n]
+    out["dbseq_start"] = (ids - m_j1)[:n]
+    out["energy"] = np.asarray(r1["min_e"]).astype(np.float64)[:n]
+    out["acc_e"] = np.asarray(r1["min_a"]).astype(np.float64)[:n]
     out["hyb_e"] = out["energy"] - out["acc_e"]
-    overflow = (r0["overflow"] | r1["overflow"])[:n]
+    overflow = (np.asarray(r0["overflow"]) | np.asarray(r1["overflow"]))[:n]
+    bps = dict(n0=bp0["n"], q0=bp0["q"], db0=bp0["db"],
+               n1=bp1["n"], q1=bp1["q"], db1=bp1["db"])
     return out, bps, overflow
-
-
-def traceback_host(pred: np.ndarray, min_i: int, min_j: int, q_start: int,
-                   db_start: int, flag: int, max_ext: int):
-    """Base pairs from the predecessor-link matrix (reference:
-    gapped_extension.cpp:409-424). pred is [DD-OFF, W] for one hit, row =
-    diagonal, lane = i."""
-    bps = []
-    ti, tj = int(min_i), int(min_j)
-    while ti != 0 and tj != 0:
-        if flag == 0:
-            bps.append((q_start - ti, db_start - tj))
-        else:
-            bps.append((q_start + ti, db_start + tj))
-        packed = int(pred[ti + tj, ti])
-        ti, tj = packed // (max_ext + 1), packed % (max_ext + 1)
-    return bps

@@ -1,0 +1,407 @@
+"""Cross-query device search pipeline for the ris step.
+
+The reference's per-(query, db-page) kernel chain
+(src/rna_interaction_search.cpp:130-200) is restructured into stages that
+batch hits ACROSS every (query, chunk) pair, so the device extension
+kernels see a few large lockstep batches instead of thousands of small
+calls:
+
+  host   stage 1: seed search + SA-interval expansion, per (query, chunk)
+         (native C++, thread pool) -> one global hit stream tagged by group
+  device stage 2: ungapped extension over the whole stream (flat buffers)
+  host   stage 3: per-group sort + interaction-threshold dedup + seed bps
+  device stage 4: gapped extension DP + traceback over the whole stream
+  host   stage 5: vectorized base-pair assembly + per-group finish
+         (dangles, bp sort, final sort + dedup)
+
+Flat buffers: every query's encoded sequence / accessibility arrays and
+every chunk's sequence / accessibility arrays are packed into single device
+buffers with one zero pad byte before each region (the pad byte reproduces
+the reference's left-boundary stop, since its encodings already carry a
+trailing sentinel). Hits carry base offsets into those buffers; hit
+coordinates stay query-/chunk-local, as in the reference.
+
+Hit semantics are identical to the exact engine; energies carry the device
+dtype's accumulation noise (float64 device math reproduces the host engine
+to ~1e-12; float32 to ~1e-4 kcal/mol).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from dataclasses import dataclass
+
+import numpy as np
+
+from priblast_tpu.ops import native
+
+
+def _len_bucket(n: int, floor: int = 256) -> int:
+    # pow2 buckets so kernel shapes (and compiles) are reused across runs
+    return max(floor, 1 << max(n - 1, 1).bit_length())
+
+
+def _pack_regions(arrays, np_dtype, pad: int = 1, tail: int = 8):
+    """Concatenate arrays into one flat buffer with `pad` zero entries
+    before each region; returns (flat, bases int64[n])."""
+    total = sum(len(a) for a in arrays) + pad * len(arrays) + tail
+    flat = np.zeros(_len_bucket(total), np_dtype)
+    bases = np.zeros(len(arrays), np.int64)
+    pos = 0
+    for i, a in enumerate(arrays):
+        pos += pad
+        bases[i] = pos
+        flat[pos: pos + len(a)] = a
+        pos += len(a)
+    return flat, bases
+
+
+class QueryPack:
+    """Flat device buffers for a set of queries (encoded + accessibility)."""
+
+    def __init__(self, q_encs, q_accs, q_conds):
+        import jax.numpy as jnp
+
+        enc, self.enc_base = _pack_regions(q_encs, np.int32)
+        acc, self.acc_base = _pack_regions(q_accs, np.float32)
+        cond, cond_base = _pack_regions(q_conds, np.float32)
+        assert np.array_equal(self.acc_base, cond_base)
+        self.enc = jnp.asarray(enc)
+        self.acc = jnp.asarray(acc)
+        self.cond = jnp.asarray(cond)
+
+    @property
+    def bufs(self):
+        return (self.enc, self.acc, self.cond)
+
+
+class DbPack:
+    """Flat device buffers for all database chunks."""
+
+    def __init__(self, chunks):
+        import jax.numpy as jnp
+
+        seq, self.seq_base = _pack_regions([c.seqs for c in chunks],
+                                           np.int32)
+        acc, self.acc_base = _pack_regions([c.acc for c in chunks],
+                                           np.float32, pad=0)
+        cond, self.cond_base = _pack_regions([c.cond for c in chunks],
+                                             np.float32, pad=0)
+        self.seq = jnp.asarray(seq)
+        self.acc = jnp.asarray(acc)
+        self.cond = jnp.asarray(cond)
+        # absolute per-(chunk, seq) accessibility offsets for host lookups
+        self.abs_acc_off = [self.acc_base[ci] + c.acc_off
+                            for ci, c in enumerate(chunks)]
+        self.abs_cond_off = [self.cond_base[ci] + c.cond_off
+                             for ci, c in enumerate(chunks)]
+
+    @property
+    def bufs(self):
+        return (self.seq, self.acc, self.cond)
+
+
+@dataclass
+class HitStream:
+    """Global struct-of-arrays hit stream plus its (query, chunk) grouping.
+
+    groups: list of (qid, cid, lo, hi) half-open slices into the arrays;
+    group order is qid-major then cid, matching the reference's output
+    order (query loop x page loop, src/rna_interaction_search.cpp:185).
+    """
+
+    soa: dict
+    groups: list
+
+    def __len__(self) -> int:
+        return len(self.soa["q_sp"]) if self.soa else 0
+
+
+_STREAM_KEYS = ("dbseq_id", "dbseq_start", "q_sp", "db_sp", "q_len",
+                "db_len", "acc_e", "hyb_e", "energy")
+
+
+def _concat_groups(parts, groups_meta):
+    """parts: list of SoA dicts; groups_meta: list of (qid, cid)."""
+    soa = {}
+    groups = []
+    lo = 0
+    for (qid, cid), part in zip(groups_meta, parts):
+        n = len(part["q_sp"])
+        groups.append((qid, cid, lo, lo + n))
+        lo += n
+    for k in _STREAM_KEYS:
+        arrs = [np.asarray(part[k]) for part in parts]
+        soa[k] = (np.concatenate(arrs) if arrs else
+                  np.zeros(0, np.int32))
+    return HitStream(soa, groups)
+
+
+def seed_stage(p, chunks, queries, threads: int = 1) -> HitStream:
+    """Stage-1 hits (seed + SA-interval expansion) for every (query, chunk)
+    pair. queries: list of (q_enc, q_sa, q_acc, q_cond)."""
+    pairs = [(qid, cid) for qid in range(len(queries))
+             for cid in range(len(chunks))]
+
+    def one(pair):
+        qid, cid = pair
+        q_enc, q_sa, q_acc, q_cond = queries[qid]
+        return native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[cid],
+                                   p, stage=1)
+
+    if threads > 1 and len(pairs) > 1:
+        with cf.ThreadPoolExecutor(threads) as ex:
+            parts = list(ex.map(one, pairs))
+    else:
+        parts = [one(pair) for pair in pairs]
+    return _concat_groups(parts, pairs)
+
+
+def _hit_bases(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
+               chunks) -> None:
+    """Attach per-hit flat-buffer base offsets (qb/qab/dbb/aoff/coff)."""
+    n = len(stream)
+    soa = stream.soa
+    for k in ("qb", "qab", "dbb", "aoff", "coff"):
+        soa[k] = np.zeros(n, np.int32)
+    for qid, cid, lo, hi in stream.groups:
+        soa["qb"][lo:hi] = qpack.enc_base[qid]
+        soa["qab"][lo:hi] = qpack.acc_base[qid]
+        soa["dbb"][lo:hi] = dbpack.seq_base[cid]
+        ids = soa["dbseq_id"][lo:hi]
+        soa["aoff"][lo:hi] = dbpack.abs_acc_off[cid][ids]
+        soa["coff"][lo:hi] = dbpack.abs_cond_off[cid][ids]
+
+
+# fixed padded-batch ladder: bounds the number of distinct compiled shapes
+# (each size is its own XLA program; compiles are cached on disk)
+_UNGAPPED_LADDER = (2048, 16384, 131072)
+_GAPPED_LADDER = (1024, 8192)
+
+
+def _bucket(n: int, ladder) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
+
+
+def ungapped_stage(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
+                   p) -> None:
+    """Device ungapped extension over the whole stream, in place."""
+    import jax.numpy as jnp
+
+    from priblast_tpu.search.ungapped import ungapped_extend_flat
+
+    n = len(stream)
+    if n == 0:
+        return
+    soa = stream.soa
+    cap = _UNGAPPED_LADDER[-1]
+    outs = {k: [] for k in ("q_sp", "db_sp", "q_len", "db_len",
+                            "dbseq_start", "acc_e", "hyb_e", "energy")}
+    for o in range(0, n, cap):
+        ns = min(cap, n - o)
+        B = _bucket(ns, _UNGAPPED_LADDER)
+
+        def pad(a, fill=0):
+            out = np.full(B, fill, a.dtype)
+            out[:ns] = a[o:o + ns]
+            return out
+
+        res = ungapped_extend_flat(
+            jnp.asarray(pad(soa["q_sp"])), jnp.asarray(pad(soa["db_sp"])),
+            jnp.asarray(pad(soa["q_len"], 1)),
+            jnp.asarray(pad(soa["dbseq_start"])),
+            jnp.asarray(pad(soa["acc_e"].astype(np.float32))),
+            jnp.asarray(pad(soa["hyb_e"].astype(np.float32))),
+            jnp.asarray(pad(soa["qb"])), jnp.asarray(pad(soa["qab"])),
+            jnp.asarray(pad(soa["dbb"])), jnp.asarray(pad(soa["aoff"])),
+            jnp.asarray(pad(soa["coff"])),
+            qpack.bufs, dbpack.bufs,
+            p.min_accessible_length, p.drop_out_length_wo_gap)
+        for k in outs:
+            outs[k].append(np.asarray(res[k])[:ns])
+    for k in outs:
+        soa[k] = np.concatenate(outs[k])
+
+
+def mid_stage(stream: HitStream, queries, chunks, p,
+              threads: int = 1):
+    """Per-group sort + interaction-threshold dedup + seed base pairs
+    (native chain_mid). Returns (new stream, bp arrays dict)."""
+    def one(group):
+        qid, cid, lo, hi = group
+        sub = {k: stream.soa[k][lo:hi] for k in _STREAM_KEYS}
+        return native.chain_mid(queries[qid][0], chunks[cid], p, sub)
+
+    if threads > 1 and len(stream.groups) > 1:
+        with cf.ThreadPoolExecutor(threads) as ex:
+            parts = list(ex.map(one, stream.groups))
+    else:
+        parts = [one(group) for group in stream.groups]
+    meta = [(qid, cid) for qid, cid, _, _ in stream.groups]
+    out = _concat_groups(parts, meta)
+    bp_off = np.concatenate(
+        [np.zeros(1, np.int64)] +
+        [np.diff(part["bp_off"]) for part in parts]).cumsum()
+    bps = dict(bp_off=bp_off.astype(np.int64),
+               bp_q=np.concatenate([part["bp_q"] for part in parts]),
+               bp_db=np.concatenate([part["bp_db"] for part in parts]))
+    return out, bps
+
+
+def gapped_stage(stream: HitStream, seed_bps: dict, qpack: QueryPack,
+                 dbpack: DbPack, chunks, queries, p, *, max_ext: int = 64,
+                 dtype: str = "float32"):
+    """Device gapped extension + traceback over the whole stream; assembles
+    the final per-hit base-pair arrays (seed + left + right tracebacks, in
+    reference push order). Returns bp arrays dict; updates stream in place.
+    """
+    from priblast_tpu.search.gapped import gapped_extend_flat_batch
+
+    n = len(stream)
+    if n == 0:
+        return dict(bp_off=np.zeros(1, np.int64),
+                    bp_q=np.zeros(0, np.int32), bp_db=np.zeros(0, np.int32))
+    soa = stream.soa
+    cap = _GAPPED_LADDER[-1]
+    gparts, bparts, oparts = [], [], []
+    for o in range(0, n, cap):
+        ns = min(cap, n - o)
+        sub = {k: soa[k][o:o + ns]
+               for k in (*_STREAM_KEYS, "qb", "qab", "dbb", "aoff", "coff")}
+        g, b, ov = gapped_extend_flat_batch(
+            sub, qpack.bufs, dbpack.bufs,
+            d=p.min_accessible_length, dropout=p.drop_out_length_w_gap,
+            min_helix=p.min_helix_length, max_ext=max_ext, dtype=dtype,
+            pad_to=_bucket(ns, _GAPPED_LADDER))
+        gparts.append(g)
+        bparts.append(b)
+        oparts.append(ov)
+    for k in _STREAM_KEYS:
+        soa[k] = np.concatenate([g[k] for g in gparts])
+    overflow = np.concatenate(oparts)
+    bp = {k: np.concatenate([b[k] for b in bparts])
+          for k in ("n0", "q0", "db0", "n1", "q1", "db1")}
+
+    if overflow.any():
+        _overflow_fallback(stream, bp, overflow, chunks, queries, p)
+
+    # ---- vectorized assembly: per hit, seed bps then left then right
+    n_seed = np.diff(seed_bps["bp_off"]).astype(np.int64)
+    total = n_seed + bp["n0"] + bp["n1"]
+    bp_off = np.zeros(n + 1, np.int64)
+    np.cumsum(total, out=bp_off[1:])
+    bp_q = np.empty(bp_off[-1], np.int32)
+    bp_db = np.empty(bp_off[-1], np.int32)
+
+    def scatter(counts, start_within, src_q, src_db):
+        # destination indices for ragged per-hit segments
+        if len(src_q) == 0:
+            return
+        starts = bp_off[:-1] + start_within
+        dst = (np.repeat(starts, counts)
+               + _ragged_arange(counts))
+        bp_q[dst] = src_q
+        bp_db[dst] = src_db
+
+    scatter(n_seed, np.zeros(n, np.int64), seed_bps["bp_q"],
+            seed_bps["bp_db"])
+    scatter(bp["n0"], n_seed, bp["q0"], bp["db0"])
+    scatter(bp["n1"], n_seed + bp["n0"], bp["q1"], bp["db1"])
+    return dict(bp_off=bp_off, bp_q=bp_q, bp_db=bp_db)
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for per-segment counts."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def _overflow_fallback(stream: HitStream, bp: dict, overflow: np.ndarray,
+                       chunks, queries, p) -> None:
+    """Rare: extension outran the device cap — host engine fallback from
+    the pre-extension state, patched into the stream and bp dict."""
+    soa = stream.soa
+    for qid, cid, lo, hi in stream.groups:
+        idx = lo + np.nonzero(overflow[lo:hi])[0]
+        if len(idx) == 0:
+            continue
+        q_enc, _q_sa, q_acc, q_cond = queries[qid]
+        sub = {k: soa[f"pre_{k}"][idx] for k in _STREAM_KEYS}
+        ref = native.gapped_extend(q_enc, q_acc, q_cond, chunks[cid], p, sub)
+        for out_i, src_i in enumerate(idx):
+            for k in _STREAM_KEYS:
+                soa[k][src_i] = ref[k][out_i]
+            blo, bhi = ref["bp_off"][out_i], ref["bp_off"][out_i + 1]
+            # host fallback emits left+right bps contiguously; split is
+            # irrelevant downstream (only the concatenation order matters),
+            # so store them all as the "left" segment
+            bp["n0"] = bp["n0"].copy()
+            bp["n1"] = bp["n1"].copy()
+            _replace_segment(bp, "0", src_i, ref["bp_q"][blo:bhi],
+                             ref["bp_db"][blo:bhi])
+            _replace_segment(bp, "1", src_i, np.zeros(0, np.int32),
+                             np.zeros(0, np.int32))
+
+
+def _replace_segment(bp: dict, tag: str, hit: int, new_q, new_db) -> None:
+    counts = bp[f"n{tag}"]
+    lo = int(counts[:hit].sum())
+    hi = lo + int(counts[hit])
+    bp[f"q{tag}"] = np.concatenate([bp[f"q{tag}"][:lo], new_q,
+                                    bp[f"q{tag}"][hi:]])
+    bp[f"db{tag}"] = np.concatenate([bp[f"db{tag}"][:lo], new_db,
+                                     bp[f"db{tag}"][hi:]])
+    counts[hit] = len(new_q)
+
+
+def finish_stage(stream: HitStream, bps: dict, queries, chunks, p,
+                 threads: int = 1):
+    """Per-group finish (dangles, bp sort, final sort + dedup). Returns a
+    list of per-group SoA result dicts aligned with stream.groups."""
+    def one(group):
+        qid, cid, lo, hi = group
+        sub = {k: stream.soa[k][lo:hi] for k in _STREAM_KEYS}
+        blo = bps["bp_off"][lo]
+        bhi = bps["bp_off"][hi]
+        off = bps["bp_off"][lo:hi + 1] - blo
+        return native.chain_finish(queries[qid][0], chunks[cid], p, sub,
+                                   off, bps["bp_q"][blo:bhi],
+                                   bps["bp_db"][blo:bhi])
+
+    if threads > 1 and len(stream.groups) > 1:
+        with cf.ThreadPoolExecutor(threads) as ex:
+            return list(ex.map(one, stream.groups))
+    return [one(group) for group in stream.groups]
+
+
+def search_all(p, chunks, queries, qpack: QueryPack, dbpack: DbPack, *,
+               threads: int = 1, max_ext: int = 64, dtype: str = "float32"):
+    """Full staged pipeline. Returns (stream, results) where results is the
+    per-group finished SoA list aligned with stream.groups."""
+    from priblast_tpu.utils import profiling as prof
+
+    with prof.stage("ris.seed"):
+        stream = seed_stage(p, chunks, queries, threads)
+        _hit_bases(stream, qpack, dbpack, chunks)
+    with prof.stage("ris.ungapped"):
+        ungapped_stage(stream, qpack, dbpack, p)
+    with prof.stage("ris.mid"):
+        stream, seed_bps = mid_stage(stream, queries, chunks, p, threads)
+        _hit_bases(stream, qpack, dbpack, chunks)
+        # keep pre-extension state for the overflow fallback
+        for k in _STREAM_KEYS:
+            stream.soa[f"pre_{k}"] = stream.soa[k].copy()
+    with prof.stage("ris.gapped"):
+        bps = gapped_stage(stream, seed_bps, qpack, dbpack, chunks, queries,
+                           p, max_ext=max_ext, dtype=dtype)
+    with prof.stage("ris.finish"):
+        results = finish_stage(stream, bps, queries, chunks, p, threads)
+    return stream, results

@@ -1,4 +1,4 @@
-"""Batched ungapped extension on device (JAX).
+"""Batched ungapped extension on device (JAX), over flattened buffers.
 
 The per-hit left/right greedy extension scans of the reference
 (src/ungapped_extension.cpp:30-155) run as lockstep vectorized
@@ -9,8 +9,13 @@ Turner tables. Arithmetic follows the reference (float32 accessibility
 steps, running/argmin energies); validated elementwise against the exact
 engine's post-ungapped hits (tests/test_search_kernels.py).
 
-This is the first piece of the ris chain on device; the gapped extension
-DP (a bounded anti-diagonal formulation) is the round-2 follow-up.
+Hits are batched ACROSS queries and db chunks: every query/chunk sequence
+and accessibility array lives in one flattened device buffer, and each hit
+carries base offsets (q_base / q_acc_base / db_base / db acc offsets) into
+those buffers. Hit coordinates (q_sp, db_sp) stay local to their query /
+chunk, exactly as in the reference; the kernel adds the bases at gather
+time. A zero pad byte precedes every region, so the reference's left
+boundary stop (sentinel or i < 0) falls out of the same `char < 2` test.
 """
 
 from __future__ import annotations
@@ -51,15 +56,18 @@ def _mapc(v):
     return jnp.where(v <= 5, v - 1, v - 5).astype(jnp.int32)
 
 
-def _loop37(t, q_enc, db_seq, type1, type2, i, j, p, q):
+def _at(buf, pos):
+    return buf[jnp.clip(pos, 0, buf.shape[0] - 1)]
+
+
+def _loop37(t, qbuf, dbuf, type1, type2, fi, fj, fp, fq, u1, u2):
     """Hybridization loop energy on raw tables / 100 (no-bulge variant;
-    reference: src/ungapped_extension.cpp:157-186)."""
-    u1 = p - i - 1
-    u2 = q - j - 1
-    a = _mapc(q_enc[jnp.clip(i + 1, 0, q_enc.shape[0] - 1)])
-    b = _mapc(db_seq[jnp.clip(j + 1, 0, db_seq.shape[0] - 1)])
-    c = _mapc(q_enc[jnp.clip(p - 1, 0, q_enc.shape[0] - 1)])
-    dch = _mapc(db_seq[jnp.clip(q - 1, 0, db_seq.shape[0] - 1)])
+    reference: src/ungapped_extension.cpp:157-186). fi/fj/fp/fq are flat
+    buffer positions of the outer (i, j) and inner (p, q) pairs."""
+    a = _mapc(_at(qbuf, fi + 1))
+    b = _mapc(_at(dbuf, fj + 1))
+    c = _mapc(_at(qbuf, fp - 1))
+    dch = _mapc(_at(dbuf, fq - 1))
 
     z_stack = t["stack"][type1 * 7 + type2]
     z11 = t["i11"][((type1 * 8 + type2) * 5 + a) * 5 + b]
@@ -79,29 +87,39 @@ def _loop37(t, q_enc, db_seq, type1, type2, i, j, p, q):
     return z / 100.0
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11))
-def ungapped_extend_device(q_sp, db_sp, length, dbseq_id, dbseq_start,
-                           acc_e, hyb_e, q_enc, db_seq, flat,
-                           d: int, dropout: int):
-    """Extend a batch of hits. flat = (q_acc, q_cond, db_acc, db_cond,
-    acc_off, cond_off) with flattened per-sequence accessibility arrays.
-    Padding hits must carry dbseq_id = 0 and q_sp/db_sp pointing at
-    sentinel/unknown chars so they terminate immediately."""
+@functools.partial(jax.jit, static_argnums=(13, 14))
+def ungapped_extend_flat(q_sp, db_sp, length, dbseq_start,
+                         acc_e, hyb_e, qb, qab, dbb, aoff, coff,
+                         bufs, dbufs, d: int, dropout: int):
+    """Extend a batch of hits over flattened buffers.
+
+    Per-hit arrays (all [B]):
+      q_sp/db_sp/length/dbseq_start — hit extent in query-local / chunk-local
+        coordinates (reference Hit fields, src/hit.hpp:38-118);
+      acc_e/hyb_e — seed energies (f32);
+      qb/qab — this hit's query base offsets into the flat encoded / flat
+        accessibility buffers; dbb — chunk base into the flat db sequence
+        buffer; aoff/coff — absolute offsets of this hit's db sequence's
+        accessibility arrays (chunk base + per-sequence offset, precomputed
+        on the host).
+    bufs = (q_enc_flat, q_acc_flat, q_cond_flat);
+    dbufs = (db_seq_flat, db_acc_flat, db_cond_flat).
+    Padding hits must carry all-zero bases and q_sp = db_sp = 0, length = 1:
+    the leading pad byte of each flat buffer terminates them on step one.
+    """
     t = _tables()
-    q_acc, q_cond, db_acc, db_cond, acc_off, cond_off = flat
+    qbuf, q_acc, q_cond = bufs
+    dbuf, db_acc, db_cond = dbufs
     bp = t["bp"]
     rt = t["rtype"]
 
     energy0 = (acc_e + hyb_e).astype(jnp.float32)
     acc_e = acc_e.astype(jnp.float32)
     hyb_e = hyb_e.astype(jnp.float32)
-    aoff = acc_off[dbseq_id].astype(jnp.int32)
-    coff = cond_off[dbseq_id].astype(jnp.int32)
 
     def pair_type(qi, di):
-        qc = _mapc(q_enc[jnp.clip(qi, 0, q_enc.shape[0] - 1)])
-        dc = _mapc(db_seq[jnp.clip(di, 0, db_seq.shape[0] - 1)])
-        return bp[qc * 5 + dc]
+        # qi/di are local; bases added here
+        return bp[_mapc(_at(qbuf, qb + qi)) * 5 + _mapc(_at(dbuf, dbb + di))]
 
     # ---- left phase (reference :55-94) ----
     def left_cond(st):
@@ -111,23 +129,24 @@ def ungapped_extend_device(q_sp, db_sp, length, dbseq_id, dbseq_start,
         i = st["i"] - 1
         j = st["j"] - 1
         id_end = st["id_end"] + 1
-        qc_raw = q_enc[jnp.clip(i, 0, q_enc.shape[0] - 1)]
-        dc_raw = db_seq[jnp.clip(j, 0, db_seq.shape[0] - 1)]
+        qc_raw = _at(qbuf, qb + i)
+        dc_raw = _at(dbuf, dbb + j)
         brk = (i < 0) | (j < 0) | (qc_raw < 2) | (dc_raw < 2)
         act = st["active"] & ~brk
 
-        dacc = (q_acc[jnp.clip(i, 0, q_acc.shape[0] - 1)]
-                - q_acc[jnp.clip(i + 1, 0, q_acc.shape[0] - 1)]
-                + q_cond[jnp.clip(i + d, 0, q_cond.shape[0] - 1)]
-                + db_cond[jnp.clip(coff + id_end, 0,
-                                   db_cond.shape[0] - 1)]).astype(jnp.float32)
+        dacc = (_at(q_acc, qab + i)
+                - _at(q_acc, qab + i + 1)
+                + _at(q_cond, qab + i + d)
+                + _at(db_cond, coff + id_end)).astype(jnp.float32)
         e = st["e"] + jnp.where(act, dacc, 0.0)
         a = st["a"] + jnp.where(act, dacc, 0.0)
 
         type1 = pair_type(i, j)
         type2 = rt[pair_type(st["p"], st["q"])]
         paired = act & (type1 != 0)
-        le = _loop37(t, q_enc, db_seq, type1, type2, i, j, st["p"], st["q"])
+        le = _loop37(t, qbuf, dbuf, type1, type2, qb + i, dbb + j,
+                     qb + st["p"], dbb + st["q"],
+                     st["p"] - i - 1, st["q"] - j - 1)
         le = jnp.where(paired, le, 0.0).astype(jnp.float32)
         e = e + le
         hh = st["hh"] + le
@@ -138,7 +157,6 @@ def ungapped_extend_device(q_sp, db_sp, length, dbseq_id, dbseq_start,
         min_h = jnp.where(better, hh, st["min_h"])
         min_p = jnp.where(better, i, st["min_p"])
         min_q = jnp.where(better, j, st["min_q"])
-        min_ids = jnp.where(better, st["min_ids"], st["min_ids"])
 
         p = jnp.where(paired, i, st["p"])
         q = jnp.where(paired, j, st["q"])
@@ -149,14 +167,14 @@ def ungapped_extend_device(q_sp, db_sp, length, dbseq_id, dbseq_start,
                     id_end=jnp.where(st["active"], id_end, st["id_end"]),
                     p=p, q=q, e=e, a=a, hh=hh,
                     min_e=min_e, min_a=min_a, min_h=min_h,
-                    min_p=min_p, min_q=min_q, min_ids=min_ids,
+                    min_p=min_p, min_q=min_q,
                     active=active)
 
     st = dict(i=q_sp, j=db_sp, id_end=dbseq_start + length - 1,
               p=q_sp, q=db_sp,
               e=energy0, a=acc_e, hh=hyb_e,
               min_e=energy0, min_a=acc_e, min_h=hyb_e,
-              min_p=q_sp, min_q=db_sp, min_ids=dbseq_start,
+              min_p=q_sp, min_q=db_sp,
               active=jnp.ones_like(q_sp, dtype=bool))
     st = lax.while_loop(left_cond, left_step, st)
     min_p, min_q = st["min_p"], st["min_q"]
@@ -167,23 +185,23 @@ def ungapped_extend_device(q_sp, db_sp, length, dbseq_id, dbseq_start,
         k = st["k"] + 1
         l = st["l"] + 1
         ids = st["ids"] - 1
-        qc_raw = q_enc[jnp.clip(k, 0, q_enc.shape[0] - 1)]
-        dc_raw = db_seq[jnp.clip(l, 0, db_seq.shape[0] - 1)]
+        qc_raw = _at(qbuf, qb + k)
+        dc_raw = _at(dbuf, dbb + l)
         brk = (qc_raw < 2) | (dc_raw < 2)
         act = st["active"] & ~brk
 
-        dacc = (q_cond[jnp.clip(k, 0, q_cond.shape[0] - 1)]
-                + db_acc[jnp.clip(aoff + ids, 0, db_acc.shape[0] - 1)]
-                - db_acc[jnp.clip(aoff + ids + 1, 0, db_acc.shape[0] - 1)]
-                + db_cond[jnp.clip(coff + ids + d, 0,
-                                   db_cond.shape[0] - 1)]).astype(jnp.float32)
+        dacc = (_at(q_cond, qab + k)
+                + _at(db_acc, aoff + ids)
+                - _at(db_acc, aoff + ids + 1)
+                + _at(db_cond, coff + ids + d)).astype(jnp.float32)
         e = st["e"] + jnp.where(act, dacc, 0.0)
         a = st["a"] + jnp.where(act, dacc, 0.0)
 
         type2 = rt[pair_type(k, l)]
         type1 = pair_type(st["r"], st["s"])
         paired = act & (type2 != 0)
-        le = _loop37(t, q_enc, db_seq, type1, type2, st["r"], st["s"], k, l)
+        le = _loop37(t, qbuf, dbuf, type1, type2, qb + st["r"], dbb + st["s"],
+                     qb + k, dbb + l, k - st["r"] - 1, l - st["s"] - 1)
         le = jnp.where(paired, le, 0.0).astype(jnp.float32)
         e = e + le
         hh = st["hh"] + le

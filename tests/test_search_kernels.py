@@ -3,12 +3,15 @@
 The native chain exposes stage=1 (post seed expansion) and stage=2 (post
 ungapped extension); the device ungapped kernel must map stage-1 hits to
 stage-2 hits: integer fields exactly, energies to f32 accumulation noise.
+The kernels run over flattened cross-query buffers (search/pipeline.py), so
+these tests also cover the packing/base-offset contract.
 """
 
 import numpy as np
 import pytest
 
 from priblast_tpu.ops import native
+from priblast_tpu.search import pipeline as pl
 from priblast_tpu.utils import alphabet, fasta, store
 from priblast_tpu.utils.params import RisParams
 
@@ -27,121 +30,99 @@ def staged(tmp_path_factory, data_dir):
     p.load_db_params()
 
     names, seqs = fasta.read_fasta(data_dir / "tiny_q.fa")
-    out = []
+    queries = []
+    pres, posts = [], []
     for seq in seqs:
         q_acc, q_cond = native.raccess(alphabet.access_codes(seq),
                                        p.maximal_span,
                                        p.min_accessible_length)
         q_enc = alphabet.encode_query(seq, p.repeat_flag)
         q_sa = native.sa_build(q_enc)
-        pre = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[0], p,
-                                  stage=1)
-        post = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[0], p,
-                                   stage=2)
-        out.append((q_enc, q_acc, q_cond, pre, post))
-    return chunks[0], p, out
+        queries.append((q_enc, q_sa, q_acc, q_cond))
+        pres.append(native.search_chunk(q_enc, q_sa, q_acc, q_cond,
+                                        chunks[0], p, stage=1))
+        posts.append(native.search_chunk(q_enc, q_sa, q_acc, q_cond,
+                                         chunks[0], p, stage=2))
+    qpack = pl.QueryPack([q[0].astype(np.int32) for q in queries],
+                         [q[2] for q in queries],
+                         [q[3] for q in queries])
+    dbpack = pl.DbPack(chunks)
+    return chunks, p, queries, qpack, dbpack, pres, posts
+
+
+def _stream_from(parts, queries, qpack, dbpack, chunks):
+    meta = [(qid, 0) for qid in range(len(parts))]
+    stream = pl._concat_groups(parts, meta)
+    pl._hit_bases(stream, qpack, dbpack, chunks)
+    return stream
 
 
 def test_device_ungapped_matches_exact(staged):
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-
-    from priblast_tpu.search.ungapped import ungapped_extend_device
-
-    chunk, p, cases = staged
-    total = 0
-    for q_enc, q_acc, q_cond, pre, post in cases:
-        n = len(pre["q_sp"])
-        if n == 0:
-            continue
-        total += n
-        flat = (jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
-                jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
-                jnp.asarray(chunk.acc_off), jnp.asarray(chunk.cond_off))
-        # note: q side uses its own arrays
-        res = ungapped_extend_device(
-            jnp.asarray(pre["q_sp"]), jnp.asarray(pre["db_sp"]),
-            jnp.asarray(pre["q_len"]), jnp.asarray(pre["dbseq_id"]),
-            jnp.asarray(pre["dbseq_start"]),
-            jnp.asarray(pre["acc_e"], dtype=jnp.float32),
-            jnp.asarray(pre["hyb_e"], dtype=jnp.float32),
-            jnp.asarray(q_enc.astype(np.int32)),
-            jnp.asarray(chunk.seqs.astype(np.int32)),
-            (jnp.asarray(q_acc), jnp.asarray(q_cond),
-             jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
-             jnp.asarray(chunk.acc_off), jnp.asarray(chunk.cond_off)),
-            p.min_accessible_length, p.drop_out_length_wo_gap)
-
-        assert np.array_equal(np.asarray(res["q_sp"]), post["q_sp"])
-        assert np.array_equal(np.asarray(res["db_sp"]), post["db_sp"])
-        assert np.array_equal(np.asarray(res["q_len"]), post["q_len"])
-        assert np.array_equal(np.asarray(res["dbseq_start"]),
-                              post["dbseq_start"])
+    chunks, p, queries, qpack, dbpack, pres, posts = staged
+    stream = _stream_from(pres, queries, qpack, dbpack, chunks)
+    assert len(stream) > 0
+    pl.ungapped_stage(stream, qpack, dbpack, p)
+    for (qid, _cid, lo, hi), post in zip(stream.groups, posts):
+        for k in ("q_sp", "db_sp", "q_len", "dbseq_start"):
+            assert np.array_equal(stream.soa[k][lo:hi], post[k]), k
         for k in ("acc_e", "hyb_e", "energy"):
-            np.testing.assert_allclose(np.asarray(res[k]), post[k],
+            np.testing.assert_allclose(stream.soa[k][lo:hi], post[k],
                                        atol=2e-4, rtol=1e-5)
-    assert total > 0
 
 
 def test_device_gapped_matches_host_oracle(staged):
-    """mid hits -> device gapped DP + host traceback == host gapped engine
-    (extents, dbseq_start, base pairs exact; energies to accumulation
-    noise)."""
-    import jax
+    """mid hits -> device gapped DP + device traceback == host gapped
+    engine (extents, dbseq_start, base pairs exact; energies to
+    accumulation noise)."""
+    from priblast_tpu.search.gapped import gapped_extend_flat_batch
 
-    jax.config.update("jax_platforms", "cpu")
+    chunks, p, queries, qpack, dbpack, _pres, posts = staged
+    mids = [native.chain_mid(queries[qid][0], chunks[0], p, post)
+            for qid, post in enumerate(posts)]
+    stream = _stream_from(mids, queries, qpack, dbpack, chunks)
+    assert len(stream) > 0
 
-    from priblast_tpu.search.chain import ChunkDevice, QueryDevice
-    from priblast_tpu.search.gapped import gapped_extend_batch
+    keys = (*pl._STREAM_KEYS, "qb", "qab", "dbb", "aoff", "coff")
+    sub = {k: stream.soa[k] for k in keys}
+    gx, bps, ovf = gapped_extend_flat_batch(
+        sub, qpack.bufs, dbpack.bufs, d=p.min_accessible_length,
+        dropout=p.drop_out_length_w_gap, min_helix=p.min_helix_length,
+        max_ext=64, dtype="float64")
+    assert not ovf.any()
 
-    chunk, p, cases = staged
-    cdev = ChunkDevice(chunk)
-    total = 0
-    for q_enc, q_acc, q_cond, _pre, post in cases:
-        if len(post["q_sp"]) == 0:
-            continue
-        mid = native.chain_mid(q_enc, chunk, p, post)
-        if len(mid["q_sp"]) == 0:
-            continue
-        ref = native.gapped_extend(q_enc, q_acc, q_cond, chunk, p, mid)
-        qdev = QueryDevice(q_enc, q_acc, q_cond)
-        gx, gbps, ovf = gapped_extend_batch(
-            mid, qdev.enc, cdev.seqs, qdev.acc, qdev.cond, cdev.acc,
-            cdev.cond, cdev.acc_off, cdev.cond_off,
-            d=p.min_accessible_length, dropout=p.drop_out_length_w_gap,
-            min_helix=p.min_helix_length, max_ext=64, dtype="float64")
-        assert not ovf.any()
+    off0 = np.concatenate([[0], np.cumsum(bps["n0"])])
+    off1 = np.concatenate([[0], np.cumsum(bps["n1"])])
+    for (qid, _cid, lo, hi), mid in zip(stream.groups, mids):
+        ref = native.gapped_extend(queries[qid][0], queries[qid][2],
+                                   queries[qid][3], chunks[0], p, mid)
         for k in ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start"):
-            assert np.array_equal(gx[k], ref[k]), k
-        np.testing.assert_allclose(gx["energy"], ref["energy"], atol=1e-9)
-        np.testing.assert_allclose(gx["acc_e"], ref["acc_e"], atol=1e-9)
-        for i in range(len(mid["q_sp"])):
-            lo, hi = ref["bp_off"][i], ref["bp_off"][i + 1]
-            assert gbps[i] == list(zip(ref["bp_q"][lo:hi].tolist(),
-                                       ref["bp_db"][lo:hi].tolist()))
-        total += len(mid["q_sp"])
-    assert total > 0
+            assert np.array_equal(gx[k][lo:hi], ref[k]), k
+        np.testing.assert_allclose(gx["energy"][lo:hi], ref["energy"],
+                                   atol=1e-9)
+        np.testing.assert_allclose(gx["acc_e"][lo:hi], ref["acc_e"],
+                                   atol=1e-9)
+        for gi, i in enumerate(range(lo, hi)):
+            got = (list(zip(bps["q0"][off0[i]:off0[i + 1]].tolist(),
+                            bps["db0"][off0[i]:off0[i + 1]].tolist()))
+                   + list(zip(bps["q1"][off1[i]:off1[i + 1]].tolist(),
+                              bps["db1"][off1[i]:off1[i + 1]].tolist())))
+            blo, bhi = ref["bp_off"][gi], ref["bp_off"][gi + 1]
+            assert got == list(zip(ref["bp_q"][blo:bhi].tolist(),
+                                   ref["bp_db"][blo:bhi].tolist()))
 
 
-def test_device_chain_end_to_end(staged):
-    """search_chunk_device (device ungapped + device gapped) == the full
-    native chain: hit set, extents and base pairs exact."""
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-    from priblast_tpu.search.chain import QueryDevice, search_chunk_device
-
-    chunk, p, cases = staged
+def test_device_pipeline_end_to_end(staged):
+    """search_all (device ungapped + device gapped + vectorized bp
+    assembly) == the full native chain: hit set, extents and base pairs
+    exact (f64 device math)."""
+    chunks, p, queries, qpack, dbpack, _pres, _posts = staged
+    stream, finished = pl.search_all(p, chunks, queries, qpack, dbpack,
+                                     dtype="float64")
     checked = 0
-    for q_enc, q_acc, q_cond, _pre, _post in cases:
-        q_sa = native.sa_build(q_enc)
-        full = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunk, p)
-        out = search_chunk_device(q_enc, q_sa, q_acc, q_cond, chunk, p,
-                                  dtype="float64",
-                                  qdev=QueryDevice(q_enc, q_acc, q_cond))
+    for (qid, cid, _lo, _hi), out in zip(stream.groups, finished):
+        q_enc, q_sa, q_acc, q_cond = queries[qid]
+        full = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[cid],
+                                   p)
         for k in ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start",
                   "dbseq_id", "bp_q", "bp_db", "bp_off"):
             assert np.array_equal(out[k], full[k]), k
@@ -153,37 +134,16 @@ def test_device_chain_end_to_end(staged):
 def test_device_extend_full_chain(staged):
     """stage1 -> device ungapped -> native chain resume == full exact chain
     (extents/base pairs exact on this dataset; energies to f32 noise)."""
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-
-    from priblast_tpu.search.ungapped import ungapped_extend_device
-
-    chunk, p, cases = staged
+    chunks, p, queries, qpack, dbpack, pres, _posts = staged
+    stream = _stream_from(pres, queries, qpack, dbpack, chunks)
+    pl.ungapped_stage(stream, qpack, dbpack, p)
     checked = 0
-    for q_enc, q_acc, q_cond, pre, _post in cases:
-        q_sa = native.sa_build(q_enc)
-        full = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunk, p)
-        n = len(pre["q_sp"])
-        if n == 0:
-            assert len(full["q_sp"]) == 0
-            continue
-        res = ungapped_extend_device(
-            jnp.asarray(pre["q_sp"]), jnp.asarray(pre["db_sp"]),
-            jnp.asarray(pre["q_len"]), jnp.asarray(pre["dbseq_id"]),
-            jnp.asarray(pre["dbseq_start"]),
-            jnp.asarray(pre["acc_e"], dtype=jnp.float32),
-            jnp.asarray(pre["hyb_e"], dtype=jnp.float32),
-            jnp.asarray(q_enc.astype(np.int32)),
-            jnp.asarray(chunk.seqs.astype(np.int32)),
-            (jnp.asarray(q_acc), jnp.asarray(q_cond),
-             jnp.asarray(chunk.acc), jnp.asarray(chunk.cond),
-             jnp.asarray(chunk.acc_off), jnp.asarray(chunk.cond_off)),
-            p.min_accessible_length, p.drop_out_length_wo_gap)
-        hits = {k: np.asarray(v) for k, v in res.items()}
-        hits["dbseq_id"] = pre["dbseq_id"]
-        out = native.chain_from_hits(q_enc, q_acc, q_cond, chunk, p, hits)
+    for (qid, _cid, lo, hi), pre in zip(stream.groups, pres):
+        q_enc, q_sa, q_acc, q_cond = queries[qid]
+        full = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[0], p)
+        hits = {k: stream.soa[k][lo:hi] for k in pl._STREAM_KEYS}
+        out = native.chain_from_hits(q_enc, q_acc, q_cond, chunks[0], p,
+                                     hits)
         assert np.array_equal(out["q_sp"], full["q_sp"])
         assert np.array_equal(out["db_sp"], full["db_sp"])
         assert np.array_equal(out["q_len"], full["q_len"])

@@ -52,6 +52,33 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+def test_ris_tpu_engine_end_to_end(tmp_path, data_dir, golden_dir):
+    """ris step with --engine tpu (device accessibility + device extension
+    pipeline): same hits as the exact engine; energies within f32 engine
+    noise at printed precision."""
+    from priblast_tpu.models import ris as ris_model
+    from priblast_tpu.utils.params import RisParams
+
+    out_tpu = str(tmp_path / "tpu.txt")
+    ris_model.run(RisParams(input=str(data_dir / "tiny_q.fa"),
+                            output=out_tpu,
+                            db_name=str(golden_dir / "tiny" / "tiny_db"),
+                            algorithm="block", engine="tpu"))
+    exact = open(golden_dir / "tiny" / "predictions.txt").read().splitlines()
+    tpu = open(out_tpu).read().splitlines()
+    assert len(exact) == len(tpu)
+    assert exact[0] == tpu[0] and exact[2] == tpu[2]  # headers
+    # param header: identical except the db path spelling
+    assert ([f for f in exact[1].split(",") if not f.startswith("database:")]
+            == [f for f in tpu[1].split(",") if not f.startswith("database:")])
+    for le, lt in zip(exact[3:], tpu[3:]):
+        fe, ft = le.split(","), lt.split(",")
+        # id, names, lengths, base pairs: exact
+        assert fe[:5] == ft[:5] and fe[8:] == ft[8:], (le, lt)
+        for a, b in zip(fe[5:8], ft[5:8]):  # energies: f32 engine noise
+            assert abs(float(a) - float(b)) < 2e-3, (le, lt)
+
+
 def test_db_tpu_engine_end_to_end(tmp_path, data_dir, golden_dir):
     """db step with --engine tpu: .seq/.ind/.nam/.bas must still be
     byte-identical (accessibility-independent); .acc within tolerance."""
