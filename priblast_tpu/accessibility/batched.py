@@ -1199,28 +1199,39 @@ def _default_use_pallas() -> bool:
 
 
 class BatchedRaccess:
-    """Public entry: accessibility for batches of equal-padded sequences."""
+    """Public entry: accessibility for batches of equal-padded sequences.
+
+    With a mesh, the batch dimension is sharded over it (data parallel:
+    base pairs never span sequences, so shards are independent; the
+    TPU-native replacement for the reference's per-rank sequence
+    distribution, src/fastafile_reader.cpp:135-314)."""
 
     def __init__(self, w_span: int, min_acc_len: int, dtype="float32",
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, mesh=None):
         self.w = w_span
         self.d = min_acc_len
         self.dtype = dtype
+        self.mesh = mesh
         self.use_pallas = (_default_use_pallas() if use_pallas is None
                            else use_pallas)
         if self.use_pallas and dtype != "float32":
             self.use_pallas = False  # pallas path is f32-only
 
     def run(self, codes_batch: np.ndarray, lengths: np.ndarray):
-        _enable_compile_cache()
         """codes_batch: [B, n_max] uint8 (0..4, zero padded);
         lengths: [B] int. Returns (acc, cond) float32 [B, n_max] with the
         same layout as the exact engine (acc valid [0, n-d], cond valid
         [d, n-1])."""
+        _enable_compile_cache()
+        from priblast_tpu.parallel import dist
+
         B, n_max = codes_batch.shape
         s = np.zeros((B, n_max + ML + 4), dtype=np.int32)
         s[:, 1 : n_max + 1] = codes_batch
         acc, cond = _run_batch_impl(self.w, self.d, n_max, self.dtype,
-                                    self.use_pallas, jnp.asarray(s),
-                                    jnp.asarray(lengths, dtype=jnp.int32))
+                                    self.use_pallas,
+                                    dist.put_batch(s, self.mesh),
+                                    dist.put_batch(
+                                        np.asarray(lengths, np.int32),
+                                        self.mesh))
         return np.asarray(acc), np.asarray(cond)

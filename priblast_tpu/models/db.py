@@ -67,9 +67,11 @@ def run(p: DbParams) -> None:
     with prof.stage("db.accessibility"):
         if resolve_engine(p.engine) == "tpu":
             from priblast_tpu.models import db_tpu
+            from priblast_tpu.parallel import dist
 
             accs, conds = db_tpu.compute_accessibilities(
-                seqs, p.maximal_span, p.min_accessible_length)
+                seqs, p.maximal_span, p.min_accessible_length,
+                mesh=dist.maybe_mesh())
         else:
             accs, conds = compute_accessibilities_exact(
                 seqs, p.maximal_span, p.min_accessible_length)

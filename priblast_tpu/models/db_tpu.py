@@ -55,13 +55,13 @@ def plan_batches(lengths: list[int], batch_size: int | None = None):
 
 def compute_accessibilities(seqs: list[str], w: int, d: int,
                             batch_size: int | None = None,
-                            dtype: str = "float32"):
+                            dtype: str = "float32", mesh=None):
     """Per-sequence accessibility via the batched TPU engine. Returns lists
     (accs, conds) in the original sequence order, matching the exact
-    engine's layout."""
+    engine's layout. With a mesh, batches are sharded across it."""
     from priblast_tpu.accessibility.batched import BatchedRaccess
 
-    engine = BatchedRaccess(w, d, dtype=dtype)
+    engine = BatchedRaccess(w, d, dtype=dtype, mesh=mesh)
     n = len(seqs)
     accs: list[np.ndarray | None] = [None] * n
     conds: list[np.ndarray | None] = [None] * n

@@ -72,9 +72,11 @@ def _accessibility_batched(engine, seqs, lengths, idxs):
 def run_queries(p: RisParams, chunks, names, seqs, order, results,
                 threads: int | None = None) -> None:
     from priblast_tpu.accessibility.batched import BatchedRaccess
+    from priblast_tpu.parallel import dist
 
+    mesh = dist.maybe_mesh()
     engine = BatchedRaccess(p.maximal_span, p.min_accessible_length,
-                            dtype="float32")
+                            dtype="float32", mesh=mesh)
     native.lib()
     threads = threads or min(32, os.cpu_count() or 1)
     lengths = [len(s) for s in seqs]
@@ -83,7 +85,7 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
     if dev_extend:
         from priblast_tpu.search import pipeline as pl
 
-        dbpack = pl.DbPack(chunks)
+        dbpack = pl.DbPack(chunks, mesh=mesh)
 
     from priblast_tpu.models.ris import format_hits
 
@@ -115,7 +117,8 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
 
         qpack = pl.QueryPack([q[0].astype(np.int32) for q in queries],
                              [q[2] for q in queries],
-                             [q[3] for q in queries])
+                             [q[3] for q in queries],
+                             [q[1] for q in queries], mesh=mesh)
         stream, finished = pl.search_all(p, chunks, queries, qpack, dbpack,
                                          threads=threads)
         with prof.stage("ris.format"):

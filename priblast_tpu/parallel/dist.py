@@ -36,6 +36,30 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("data",))
 
 
+def maybe_mesh() -> Mesh | None:
+    """A 1-D data mesh over all local devices, or None single-device."""
+    return make_mesh() if len(jax.devices()) > 1 else None
+
+
+def put_batch(x, mesh: Mesh | None):
+    """Commit a [B, ...] array to the mesh, batch dimension sharded. With a
+    committed input sharding, jit compiles the downstream kernel SPMD over
+    the mesh — the TPU-native analog of the reference's per-rank sequence
+    distribution (src/fastafile_reader.cpp:135-314)."""
+    if mesh is None:
+        return jnp.asarray(x)
+    spec = P("data", *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def put_replicated(x, mesh: Mesh | None):
+    """Commit a lookup buffer replicated across the mesh (db pages and
+    query packs are read-only gather sources for every shard)."""
+    if mesh is None:
+        return jnp.asarray(x)
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
 def sharded_accessibility_step(mesh: Mesh, w_span: int, min_acc_len: int,
                                n_max: int, dtype: str = "float32"):
     """Build the jitted data-parallel accessibility step: input codes

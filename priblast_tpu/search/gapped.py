@@ -481,7 +481,7 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
 def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
                              dropout: int, min_helix: int, max_ext: int = 64,
                              dtype: str = "float32",
-                             pad_to: int | None = None):
+                             pad_to: int | None = None, mesh=None):
     """Both extension directions for a hit batch (SoA numpy dict carrying
     per-hit base offsets qb/qab/dbb/aoff/coff), device DP + device
     traceback. Returns (updated hit dict, bp dict, overflow mask). The bp
@@ -504,6 +504,11 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
         out[:n] = a
         return out
 
+    def put(a):
+        from priblast_tpu.parallel import dist
+
+        return dist.put_batch(a, mesh)
+
     q_sp = pad(hits["q_sp"], np.int32)
     db_sp = pad(hits["db_sp"], np.int32)
     q_len = pad(hits["q_len"], np.int32, 1)
@@ -511,7 +516,7 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
     ids = pad(hits["dbseq_start"], np.int32)
     energy = pad(hits["energy"], np.float64)
     acc_e = pad(hits["acc_e"], np.float64)
-    bases = [jnp.asarray(pad(hits[k], np.int32))
+    bases = [put(pad(hits[k], np.int32))
              for k in ("qb", "qab", "dbb", "aoff", "coff")]
     valid = np.zeros(B, bool)
     valid[:n] = True
@@ -533,9 +538,9 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
 
     # ---- left (flag 0)
     r0 = gapped_extend_device(
-        jnp.asarray(q_sp), jnp.asarray(db_sp),
-        jnp.asarray(ids + db_len - 1), jnp.asarray(energy),
-        jnp.asarray(acc_e), jnp.asarray(valid), *bases, *seqs,
+        put(q_sp), put(db_sp),
+        put(ids + db_len - 1), put(energy),
+        put(acc_e), put(valid), *bases, *seqs,
         flag=0, **kw)
     bp0 = coords(r0, q_sp, db_sp, -1)
     m_i0 = np.asarray(r0["min_i"])
@@ -549,9 +554,9 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
 
     # ---- right (flag 1), from the post-left extents
     r1 = gapped_extend_device(
-        jnp.asarray(q_sp2 + q_len2 - 1), jnp.asarray(db_sp2 + db_len2 - 1),
-        jnp.asarray(ids), jnp.asarray(e2), jnp.asarray(a2),
-        jnp.asarray(valid), *bases, *seqs, flag=1, **kw)
+        put(q_sp2 + q_len2 - 1), put(db_sp2 + db_len2 - 1),
+        put(ids), put(e2), put(a2),
+        put(valid), *bases, *seqs, flag=1, **kw)
     bp1 = coords(r1, q_sp2 + q_len2 - 1, db_sp2 + db_len2 - 1, 1)
     m_i1 = np.asarray(r1["min_i"])
     m_j1 = np.asarray(r1["min_j"])

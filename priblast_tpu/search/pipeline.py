@@ -57,18 +57,25 @@ def _pack_regions(arrays, np_dtype, pad: int = 1, tail: int = 8):
 
 
 class QueryPack:
-    """Flat device buffers for a set of queries (encoded + accessibility)."""
+    """Flat device buffers for a set of queries (encoded + accessibility +
+    suffix arrays, for the device seed-expansion stage). With a mesh, the
+    buffers are replicated across it (read-only gather sources)."""
 
-    def __init__(self, q_encs, q_accs, q_conds):
-        import jax.numpy as jnp
+    def __init__(self, q_encs, q_accs, q_conds, q_sas=None, mesh=None):
+        from priblast_tpu.parallel import dist
 
+        self.mesh = mesh
         enc, self.enc_base = _pack_regions(q_encs, np.int32)
         acc, self.acc_base = _pack_regions(q_accs, np.float32)
         cond, cond_base = _pack_regions(q_conds, np.float32)
         assert np.array_equal(self.acc_base, cond_base)
-        self.enc = jnp.asarray(enc)
-        self.acc = jnp.asarray(acc)
-        self.cond = jnp.asarray(cond)
+        self.enc = dist.put_replicated(enc, mesh)
+        self.acc = dist.put_replicated(acc, mesh)
+        self.cond = dist.put_replicated(cond, mesh)
+        self.sa = None
+        if q_sas is not None:
+            sa, self.sa_base = _pack_regions(q_sas, np.int32, pad=0)
+            self.sa = dist.put_replicated(sa, mesh)
 
     @property
     def bufs(self):
@@ -78,23 +85,47 @@ class QueryPack:
 class DbPack:
     """Flat device buffers for all database chunks."""
 
-    def __init__(self, chunks):
-        import jax.numpy as jnp
+    def __init__(self, chunks, mesh=None):
+        from priblast_tpu.parallel import dist
 
+        self.mesh = mesh
         seq, self.seq_base = _pack_regions([c.seqs for c in chunks],
                                            np.int32)
         acc, self.acc_base = _pack_regions([c.acc for c in chunks],
                                            np.float32, pad=0)
         cond, self.cond_base = _pack_regions([c.cond for c in chunks],
                                              np.float32, pad=0)
-        self.seq = jnp.asarray(seq)
-        self.acc = jnp.asarray(acc)
-        self.cond = jnp.asarray(cond)
+        self.seq = dist.put_replicated(seq, mesh)
+        self.acc = dist.put_replicated(acc, mesh)
+        self.cond = dist.put_replicated(cond, mesh)
         # absolute per-(chunk, seq) accessibility offsets for host lookups
         self.abs_acc_off = [self.acc_base[ci] + c.acc_off
                             for ci, c in enumerate(chunks)]
         self.abs_cond_off = [self.cond_base[ci] + c.cond_off
                              for ci, c in enumerate(chunks)]
+        # seed-expansion stage buffers: suffix arrays, per-sequence layout,
+        # absolute accessibility offsets (device copies)
+        sa, self.sa_base = _pack_regions([c.suffix_array for c in chunks],
+                                         np.int32, pad=0)
+        spos, self.seq_meta_base = _pack_regions(
+            [c.start_pos for c in chunks], np.int32, pad=0)
+        slen, slen_base = _pack_regions([c.seq_sizes for c in chunks],
+                                        np.int32, pad=0)
+        assert np.array_equal(self.seq_meta_base, slen_base)
+        aoff, aoff_base = _pack_regions(
+            [a.astype(np.int64) for a in self.abs_acc_off], np.int64, pad=0)
+        coff, coff_base = _pack_regions(
+            [a.astype(np.int64) for a in self.abs_cond_off], np.int64,
+            pad=0)
+        assert np.array_equal(aoff_base, coff_base)
+        self.n_seqs = np.array([c.n_seqs for c in chunks], np.int32)
+        self.sa_j = dist.put_replicated(sa, mesh)
+        self.start_pos_j = dist.put_replicated(spos, mesh)
+        self.seq_len_j = dist.put_replicated(slen, mesh)
+        self.abs_acc_off_j = dist.put_replicated(aoff.astype(np.int32), mesh)
+        self.abs_cond_off_j = dist.put_replicated(coff.astype(np.int32),
+                                                  mesh)
+        self.off_base = aoff_base
 
     @property
     def bufs(self):
@@ -188,14 +219,16 @@ def _bucket(n: int, ladder) -> int:
 
 def ungapped_stage(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
                    p) -> None:
-    """Device ungapped extension over the whole stream, in place."""
-    import jax.numpy as jnp
+    """Device ungapped extension over the whole stream, in place. Hit
+    batches are sharded over the pack's mesh (data parallel over hits)."""
+    from priblast_tpu.parallel import dist
 
     from priblast_tpu.search.ungapped import ungapped_extend_flat
 
     n = len(stream)
     if n == 0:
         return
+    mesh = dbpack.mesh
     soa = stream.soa
     cap = _UNGAPPED_LADDER[-1]
     outs = {k: [] for k in ("q_sp", "db_sp", "q_len", "db_len",
@@ -209,15 +242,18 @@ def ungapped_stage(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
             out[:ns] = a[o:o + ns]
             return out
 
+        def put(a, fill=0):
+            return dist.put_batch(pad(a, fill), mesh)
+
         res = ungapped_extend_flat(
-            jnp.asarray(pad(soa["q_sp"])), jnp.asarray(pad(soa["db_sp"])),
-            jnp.asarray(pad(soa["q_len"], 1)),
-            jnp.asarray(pad(soa["dbseq_start"])),
-            jnp.asarray(pad(soa["acc_e"].astype(np.float32))),
-            jnp.asarray(pad(soa["hyb_e"].astype(np.float32))),
-            jnp.asarray(pad(soa["qb"])), jnp.asarray(pad(soa["qab"])),
-            jnp.asarray(pad(soa["dbb"])), jnp.asarray(pad(soa["aoff"])),
-            jnp.asarray(pad(soa["coff"])),
+            put(soa["q_sp"]), put(soa["db_sp"]),
+            put(soa["q_len"], 1),
+            put(soa["dbseq_start"]),
+            put(soa["acc_e"].astype(np.float32)),
+            put(soa["hyb_e"].astype(np.float32)),
+            put(soa["qb"]), put(soa["qab"]),
+            put(soa["dbb"]), put(soa["aoff"]),
+            put(soa["coff"]),
             qpack.bufs, dbpack.bufs,
             p.min_accessible_length, p.drop_out_length_wo_gap)
         for k in outs:
@@ -275,7 +311,7 @@ def gapped_stage(stream: HitStream, seed_bps: dict, qpack: QueryPack,
             sub, qpack.bufs, dbpack.bufs,
             d=p.min_accessible_length, dropout=p.drop_out_length_w_gap,
             min_helix=p.min_helix_length, max_ext=max_ext, dtype=dtype,
-            pad_to=_bucket(ns, _GAPPED_LADDER))
+            pad_to=_bucket(ns, _GAPPED_LADDER), mesh=dbpack.mesh)
         gparts.append(g)
         bparts.append(b)
         oparts.append(ov)
@@ -389,7 +425,14 @@ def search_all(p, chunks, queries, qpack: QueryPack, dbpack: DbPack, *,
     from priblast_tpu.utils import profiling as prof
 
     with prof.stage("ris.seed"):
-        stream = seed_stage(p, chunks, queries, threads)
+        if qpack.sa is not None:
+            # host DFS -> device interval expansion (search/seed.py)
+            from priblast_tpu.search import seed
+
+            cands = seed.seed_candidates(p, chunks, queries, threads)
+            stream = seed.expand_stage(p, cands, qpack, dbpack, dtype=dtype)
+        else:
+            stream = seed_stage(p, chunks, queries, threads)
         _hit_bases(stream, qpack, dbpack, chunks)
     with prof.stage("ris.ungapped"):
         ungapped_stage(stream, qpack, dbpack, p)

@@ -45,7 +45,8 @@ def staged(tmp_path_factory, data_dir):
                                          chunks[0], p, stage=2))
     qpack = pl.QueryPack([q[0].astype(np.int32) for q in queries],
                          [q[2] for q in queries],
-                         [q[3] for q in queries])
+                         [q[3] for q in queries],
+                         [q[1] for q in queries])
     dbpack = pl.DbPack(chunks)
     return chunks, p, queries, qpack, dbpack, pres, posts
 
@@ -55,6 +56,24 @@ def _stream_from(parts, queries, qpack, dbpack, chunks):
     stream = pl._concat_groups(parts, meta)
     pl._hit_bases(stream, qpack, dbpack, chunks)
     return stream
+
+
+def test_device_seed_expansion_matches_exact(staged):
+    """host DFS candidates -> device expansion == native stage-1 hits
+    (positions/ids exact; energies to accumulation noise; f64 exact)."""
+    from priblast_tpu.search import seed
+
+    chunks, p, queries, qpack, dbpack, pres, _posts = staged
+    cands = seed.seed_candidates(p, chunks, queries)
+    stream = seed.expand_stage(p, cands, qpack, dbpack, dtype="float64")
+    assert len(stream) > 0
+    for (qid, _cid, lo, hi), pre in zip(stream.groups, pres):
+        for k in ("q_sp", "db_sp", "q_len", "db_len", "dbseq_id",
+                  "dbseq_start"):
+            assert np.array_equal(stream.soa[k][lo:hi], pre[k]), k
+        for k in ("acc_e", "hyb_e", "energy"):
+            np.testing.assert_allclose(stream.soa[k][lo:hi], pre[k],
+                                       atol=1e-9)
 
 
 def test_device_ungapped_matches_exact(staged):
