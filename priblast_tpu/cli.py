@@ -26,8 +26,11 @@ def _db_parser(sub) -> None:
     q.add_argument("-c", dest="chunk_size", type=int, default=2**31 - 1,
                    help="db page size (sequences per page)")
     q.add_argument("-a", dest="algorithm", default="heap",
-                   choices=["block", "heap", "dynamic"])
-    q.add_argument("-p", dest="tmp_path", default="")
+                   choices=["block", "heap", "dynamic"],
+                   help="multi-process sequence distribution strategy "
+                        "(single-process runs schedule dynamically)")
+    q.add_argument("-p", dest="tmp_path", default="",
+                   help="directory for multi-process part files")
     q.add_argument("--engine", dest="engine", default="auto",
                    choices=["auto", "exact", "tpu"])
     q.add_argument("--threads", dest="threads", type=int, default=0)
@@ -49,8 +52,11 @@ def _ris_parser(sub) -> None:
     q.add_argument("-m", dest="min_helix_length", type=int, default=3)
     q.add_argument("-s", dest="output_style", type=int, default=0)
     q.add_argument("-a", dest="algorithm", default="area",
-                   choices=["block", "area", "dynamic"])
-    q.add_argument("-p", dest="tmp_path", default="")
+                   choices=["block", "area", "dynamic"],
+                   help="multi-process query distribution strategy "
+                        "(single-process runs schedule dynamically)")
+    q.add_argument("-p", dest="tmp_path", default="",
+                   help="directory for multi-process part files")
     q.add_argument("--engine", dest="engine", default="auto",
                    choices=["auto", "exact", "tpu"])
     q.add_argument("--threads", dest="threads", type=int, default=0)

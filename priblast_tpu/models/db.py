@@ -54,15 +54,34 @@ def compute_accessibilities_exact(seqs: list[str], w: int, d: int,
 
 
 def resolve_engine(engine: str) -> str:
-    """auto -> exact (byte parity); the TPU engine is opt-in (--engine tpu)
-    since its f32 accessibility deviates from the reference by ~1e-4
-    kcal/mol, which can flip borderline hits."""
-    return "exact" if engine == "auto" else engine
+    """auto -> the TPU engine when an accelerator is present, the exact CPU
+    engine otherwise. The TPU engine's f32 accessibility deviates from the
+    reference by ~1e-4..5e-3 kcal/mol, which can flip rare borderline hits
+    (quantified in CHURN.md); --engine exact keeps byte parity."""
+    if engine != "auto":
+        return engine
+    try:
+        import jax
+
+        return "exact" if jax.default_backend() == "cpu" else "tpu"
+    except Exception:
+        return "exact"
 
 
 def run(p: DbParams) -> None:
+    from priblast_tpu.parallel import multihost
+
+    pidx, pcount = multihost.init_from_env()
     p.validate()
     names, seqs = fasta.read_fasta(p.input)
+
+    if pcount > 1:
+        mine = sorted(multihost.partition_for(
+            p.algorithm, [len(s) for s in seqs], pcount)[pidx])
+        my_seqs = [seqs[i] for i in mine]
+    else:
+        mine = list(range(len(seqs)))
+        my_seqs = seqs
 
     with prof.stage("db.accessibility"):
         if resolve_engine(p.engine) == "tpu":
@@ -70,11 +89,28 @@ def run(p: DbParams) -> None:
             from priblast_tpu.parallel import dist
 
             accs, conds = db_tpu.compute_accessibilities(
-                seqs, p.maximal_span, p.min_accessible_length,
+                my_seqs, p.maximal_span, p.min_accessible_length,
                 mesh=dist.maybe_mesh())
         else:
             accs, conds = compute_accessibilities_exact(
-                seqs, p.maximal_span, p.min_accessible_length)
+                my_seqs, p.maximal_span, p.min_accessible_length)
+
+    if pcount > 1:
+        # gather accessibility shards to process 0 (the analog of the
+        # reference's gather-to-one-rank before the index build,
+        # src/db_construction.cpp:239-328)
+        multihost.write_acc_part(
+            multihost.part_path(p.db_name, p.tmp_path, pidx),
+            {i: accs[k] for k, i in enumerate(mine)},
+            {i: conds[k] for k, i in enumerate(mine)})
+        multihost.barrier("db_acc_parts")
+        if pidx != 0:
+            return
+        accs, conds = multihost.read_acc_parts(
+            [multihost.part_path(p.db_name, p.tmp_path, q)
+             for q in range(pcount)], len(seqs))
+        for q in range(pcount):
+            multihost.part_path(p.db_name, p.tmp_path, q).unlink()
 
     prof.maybe_report()
     encoded_each = [alphabet.encode_db([s], p.repeat_flag) for s in seqs]

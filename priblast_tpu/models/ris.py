@@ -88,11 +88,23 @@ def search_query(p: RisParams, chunks: list[store.DbChunk], name: str,
 
 
 def run(p: RisParams, threads: int | None = None) -> None:
+    from priblast_tpu.parallel import multihost
+
+    pidx, pcount = multihost.init_from_env()
     p.load_db_params()
     names, seqs = fasta.read_fasta(p.input)
     chunks = store.load_chunks(p.db_name, p.hash_size)
     order = [int(i) for i in native.argsort_desc([len(s) for s in seqs])]
     native.lib()
+
+    if pcount > 1:
+        # per-process query shard by the -a distribution strategy
+        # (reference: src/fastafile_reader.cpp:135-314)
+        mine = set(multihost.partition_for(
+            p.algorithm, [len(s) for s in seqs], pcount)[pidx])
+        my_order = [i for i in order if i in mine]
+    else:
+        my_order = order
 
     threads = threads or min(32, os.cpu_count() or 1)
     results: list[list[str] | None] = [None] * len(seqs)
@@ -102,18 +114,35 @@ def run(p: RisParams, threads: int | None = None) -> None:
     if resolve_engine(p.engine) == "tpu":
         from priblast_tpu.models import ris_tpu
 
-        ris_tpu.run_queries(p, chunks, names, seqs, order, results)
-    elif threads > 1 and len(seqs) > 1:
+        ris_tpu.run_queries(p, chunks, names, seqs, my_order, results)
+    elif threads > 1 and len(my_order) > 1:
         with cf.ThreadPoolExecutor(threads) as ex:
             futs = {ex.submit(search_query, p, chunks, names[i], seqs[i]): i
-                    for i in order}
+                    for i in my_order}
             for f in cf.as_completed(futs):
                 results[futs[f]] = f.result()
     else:
-        for i in order:
+        for i in my_order:
             results[i] = search_query(p, chunks, names[i], seqs[i])
 
     prof.maybe_report()
+    if pcount > 1:
+        # part file + barrier + ordered merge on process 0 (replaces the
+        # reference's completion-order ring,
+        # src/rna_interaction_search.cpp:202-230)
+        multihost.write_ris_part(
+            multihost.part_path(p.output, p.tmp_path, pidx),
+            {i: results[i] or [] for i in my_order})
+        multihost.barrier("ris_parts")
+        if pidx != 0:
+            return
+        merged = multihost.read_ris_parts(
+            [multihost.part_path(p.output, p.tmp_path, q)
+             for q in range(pcount)])
+        results = [merged.get(i) for i in range(len(seqs))]
+        for q in range(pcount):
+            multihost.part_path(p.output, p.tmp_path, q).unlink()
+
     with open(p.output, "w") as f:
         f.write(header(p))
         count = 0

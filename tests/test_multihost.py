@@ -1,0 +1,65 @@
+"""Multi-process (jax.distributed) execution, simulated with two local CPU
+processes — the analog of the reference's `mpirun -np 2` runs (SURVEY §4).
+Outputs must be byte-identical to the single-process run: the ordered merge
+replaces the reference's completion-order ring deterministically."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn(args, pidx: int, nprocs: int, port: int, repo: str):
+    env = dict(os.environ)
+    env.update(PRIBLAST_PLATFORM="cpu",
+               PRIBLAST_NUM_PROCS=str(nprocs),
+               PRIBLAST_PROC_ID=str(pidx),
+               PRIBLAST_COORD=f"localhost:{port}")
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.Popen([sys.executable, "-m", "priblast_tpu"] + args,
+                            env=env, cwd=repo, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE)
+
+
+def _run_all(args, nprocs: int, repo: str):
+    port = _free_port()
+    procs = [_spawn(args, i, nprocs, port, repo) for i in range(nprocs)]
+    for proc in procs:
+        out, err = proc.communicate(timeout=300)
+        assert proc.returncode == 0, err.decode()[-2000:]
+
+
+@pytest.mark.slow
+def test_multiprocess_ris_matches_single(tmp_path, data_dir, golden_dir,
+                                         repo_root):
+    out = tmp_path / "mp.txt"
+    _run_all(["ris", "-i", str(data_dir / "tiny_q.fa"), "-o", str(out),
+              "-d", str(golden_dir / "tiny" / "tiny_db"),
+              "--engine", "exact", "-a", "area",
+              "-p", str(tmp_path)], 2, str(repo_root))
+    got = out.read_text().splitlines()
+    want = (golden_dir / "tiny" / "predictions.txt").read_text().splitlines()
+    assert got[2:] == want[2:]  # body byte-identical; header paths differ
+
+
+@pytest.mark.slow
+def test_multiprocess_db_matches_single(tmp_path, data_dir, golden_dir,
+                                        repo_root):
+    import filecmp
+
+    db = tmp_path / "tiny_db"
+    _run_all(["db", "-i", str(data_dir / "tiny_db.fa"), "-o", str(db),
+              "--engine", "exact", "-a", "block"], 2, str(repo_root))
+    for ext in ("bas", "seq", "ind", "nam", "acc"):
+        assert filecmp.cmp(str(golden_dir / "tiny" / f"tiny_db.{ext}"),
+                           f"{db}.{ext}", shallow=False), ext
