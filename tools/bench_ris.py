@@ -111,9 +111,9 @@ def main() -> None:
     if "exact" in paths:
         results["exact"] = run_py("exact", "exact", False)
     if "tpu" in paths:
-        results["tpu"] = run_py("tpu", "tpu", False)
-    if "tpu_dev" in paths:
-        results["tpu_dev"] = run_py("tpu_dev", "tpu", True)
+        results["tpu"] = run_py("tpu", "tpu", True)   # device extends (default)
+    if "tpu_host" in paths:
+        results["tpu_host"] = run_py("tpu_host", "tpu", False)
 
     print(f"workload: {ns.nq} queries x ~{ns.q_nt}nt vs "
           f"{ns.ndb} targets x ~{ns.db_nt}nt")
