@@ -206,8 +206,10 @@ def _hit_bases(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
 
 # fixed padded-batch ladder: bounds the number of distinct compiled shapes
 # (each size is its own XLA program; compiles are cached on disk)
-_UNGAPPED_LADDER = (2048, 16384, 131072)
-_GAPPED_LADDER = (1024, 8192)
+# caps chosen to fit v5e HBM: the gapped DP holds [B, diag, lane] state
+# plus [B, combos~153, lane] per-step tensors, so its cap stays at 4096
+_UNGAPPED_LADDER = (2048, 16384, 65536)
+_GAPPED_LADDER = (1024, 4096)
 
 
 def _bucket(n: int, ladder) -> int:
@@ -260,6 +262,27 @@ def ungapped_stage(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
             outs[k].append(np.asarray(res[k])[:ns])
     for k in outs:
         soa[k] = np.concatenate(outs[k])
+
+
+def filter_stream(stream: HitStream, keep: np.ndarray) -> HitStream:
+    """Keep a boolean-masked subset, preserving order and regrouping."""
+    kept_cum = np.concatenate([[0], np.cumsum(keep)])
+    groups = [(qid, cid, int(kept_cum[lo]), int(kept_cum[hi]))
+              for qid, cid, lo, hi in stream.groups]
+    soa = {k: v[keep] for k, v in stream.soa.items()}
+    return HitStream(soa, groups)
+
+
+def threshold_stage(stream: HitStream, p) -> HitStream:
+    """Drop hits above the interaction-energy threshold before the host
+    dedup. The reference flags these at the top of its redundancy scan
+    (src/rna_interaction_search.cpp:389-391) and flagged hits never affect
+    other hits' dedup decisions, so pre-filtering is semantics-preserving —
+    and it shrinks the host mid stage's input ~10x."""
+    if len(stream) == 0:
+        return stream
+    return filter_stream(stream,
+                         stream.soa["energy"] <= p.interaction_energy_threshold)
 
 
 def mid_stage(stream: HitStream, queries, chunks, p,
@@ -437,6 +460,7 @@ def search_all(p, chunks, queries, qpack: QueryPack, dbpack: DbPack, *,
     with prof.stage("ris.ungapped"):
         ungapped_stage(stream, qpack, dbpack, p)
     with prof.stage("ris.mid"):
+        stream = threshold_stage(stream, p)
         stream, seed_bps = mid_stage(stream, queries, chunks, p, threads)
         _hit_bases(stream, qpack, dbpack, chunks)
         # keep pre-extension state for the overflow fallback

@@ -91,7 +91,7 @@ def _expand_kernel(d: int, max_len: int, sbits: int, dtype_name: str,
 
 
 # pair-batch ladder (each size is one compiled program per buffer shape)
-_EXPAND_LADDER = (4096, 65536, 1048576)
+_EXPAND_LADDER = (4096, 65536, 524288)
 
 
 def _bucket(n: int, ladder=_EXPAND_LADDER) -> int:
