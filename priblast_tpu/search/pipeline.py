@@ -449,18 +449,22 @@ def search_all(p, chunks, queries, qpack: QueryPack, dbpack: DbPack, *,
 
     with prof.stage("ris.seed"):
         if qpack.sa is not None:
-            # host DFS -> device interval expansion (search/seed.py)
-            from priblast_tpu.search import seed
+            # host DFS -> fused device expansion + ungapped + threshold
+            # (search/fused.py: one device pass per pair block, compacted
+            # readback — the transfer-frugal production path)
+            from priblast_tpu.search import fused, seed
 
             cands = seed.seed_candidates(p, chunks, queries, threads)
-            stream = seed.expand_stage(p, cands, qpack, dbpack, dtype=dtype)
+            stream = fused.fused_stage(p, cands, qpack, dbpack, dtype=dtype)
         else:
+            # staged fallback: per-(query, chunk) native stage-1 hits,
+            # device ungapped over the full stream, host threshold
             stream = seed_stage(p, chunks, queries, threads)
-        _hit_bases(stream, qpack, dbpack, chunks)
-    with prof.stage("ris.ungapped"):
-        ungapped_stage(stream, qpack, dbpack, p)
+            _hit_bases(stream, qpack, dbpack, chunks)
+            with prof.stage("ris.ungapped"):
+                ungapped_stage(stream, qpack, dbpack, p)
+            stream = threshold_stage(stream, p)
     with prof.stage("ris.mid"):
-        stream = threshold_stage(stream, p)
         stream, seed_bps = mid_stage(stream, queries, chunks, p, threads)
         _hit_bases(stream, qpack, dbpack, chunks)
         # keep pre-extension state for the overflow fallback

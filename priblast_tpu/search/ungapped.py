@@ -87,26 +87,14 @@ def _loop37(t, qbuf, dbuf, type1, type2, fi, fj, fp, fq, u1, u2):
     return z / 100.0
 
 
-@functools.partial(jax.jit, static_argnums=(13, 14))
-def ungapped_extend_flat(q_sp, db_sp, length, dbseq_start,
-                         acc_e, hyb_e, qb, qab, dbb, aoff, coff,
-                         bufs, dbufs, d: int, dropout: int):
-    """Extend a batch of hits over flattened buffers.
-
-    Per-hit arrays (all [B]):
-      q_sp/db_sp/length/dbseq_start — hit extent in query-local / chunk-local
-        coordinates (reference Hit fields, src/hit.hpp:38-118);
-      acc_e/hyb_e — seed energies (f32);
-      qb/qab — this hit's query base offsets into the flat encoded / flat
-        accessibility buffers; dbb — chunk base into the flat db sequence
-        buffer; aoff/coff — absolute offsets of this hit's db sequence's
-        accessibility arrays (chunk base + per-sequence offset, precomputed
-        on the host).
-    bufs = (q_enc_flat, q_acc_flat, q_cond_flat);
-    dbufs = (db_seq_flat, db_acc_flat, db_cond_flat).
-    Padding hits must carry all-zero bases and q_sp = db_sp = 0, length = 1:
-    the leading pad byte of each flat buffer terminates them on step one.
-    """
+def ungapped_core(q_sp, db_sp, length, dbseq_start,
+                  acc_e, hyb_e, qb, qab, dbb, aoff, coff,
+                  bufs, dbufs, d: int, dropout: int, active0=None):
+    """Traceable core of the batched ungapped extension (see
+    ungapped_extend_flat for the argument contract). `active0` masks hits
+    that should not extend at all (their outputs are their inputs) — used
+    by the fused seed-expansion kernel to skip dead lanes without a
+    host-side compaction round trip."""
     t = _tables()
     qbuf, q_acc, q_cond = bufs
     dbuf, db_acc, db_cond = dbufs
@@ -170,12 +158,14 @@ def ungapped_extend_flat(q_sp, db_sp, length, dbseq_start,
                     min_p=min_p, min_q=min_q,
                     active=active)
 
+    if active0 is None:
+        active0 = jnp.ones_like(q_sp, dtype=bool)
     st = dict(i=q_sp, j=db_sp, id_end=dbseq_start + length - 1,
               p=q_sp, q=db_sp,
               e=energy0, a=acc_e, hh=hyb_e,
               min_e=energy0, min_a=acc_e, min_h=hyb_e,
               min_p=q_sp, min_q=db_sp,
-              active=jnp.ones_like(q_sp, dtype=bool))
+              active=active0)
     st = lax.while_loop(left_cond, left_step, st)
     min_p, min_q = st["min_p"], st["min_q"]
     min_e, min_a, min_h = st["min_e"], st["min_a"], st["min_h"]
@@ -230,7 +220,7 @@ def ungapped_extend_flat(q_sp, db_sp, length, dbseq_start,
                e=min_e, a=min_a, hh=min_h,
                min_e=min_e, min_a=min_a, min_h=min_h,
                min_r=q_sp + length - 1, min_ids=dbseq_start,
-               active=jnp.ones_like(q_sp, dtype=bool))
+               active=active0)
     st2 = lax.while_loop(left_cond, right_step, st2)
 
     new_len = st2["min_r"] - min_p + 1
@@ -238,3 +228,27 @@ def ungapped_extend_flat(q_sp, db_sp, length, dbseq_start,
                 dbseq_start=st2["min_ids"],
                 acc_e=st2["min_a"], hyb_e=st2["min_h"],
                 energy=st2["min_e"])
+
+
+@functools.partial(jax.jit, static_argnums=(13, 14))
+def ungapped_extend_flat(q_sp, db_sp, length, dbseq_start,
+                         acc_e, hyb_e, qb, qab, dbb, aoff, coff,
+                         bufs, dbufs, d: int, dropout: int):
+    """Extend a batch of hits over flattened buffers.
+
+    Per-hit arrays (all [B]):
+      q_sp/db_sp/length/dbseq_start — hit extent in query-local / chunk-local
+        coordinates (reference Hit fields, src/hit.hpp:38-118);
+      acc_e/hyb_e — seed energies (f32);
+      qb/qab — this hit's query base offsets into the flat encoded / flat
+        accessibility buffers; dbb — chunk base into the flat db sequence
+        buffer; aoff/coff — absolute offsets of this hit's db sequence's
+        accessibility arrays (chunk base + per-sequence offset, precomputed
+        on the host).
+    bufs = (q_enc_flat, q_acc_flat, q_cond_flat);
+    dbufs = (db_seq_flat, db_acc_flat, db_cond_flat).
+    Padding hits must carry all-zero bases and q_sp = db_sp = 0, length = 1:
+    the leading pad byte of each flat buffer terminates them on step one.
+    """
+    return ungapped_core(q_sp, db_sp, length, dbseq_start, acc_e, hyb_e,
+                         qb, qab, dbb, aoff, coff, bufs, dbufs, d, dropout)
