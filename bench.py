@@ -1,26 +1,37 @@
 """Round benchmark: the north-star ris metric (queries/s/chip) plus db-step
 throughput, vs the reference implementation on this host's CPU cores.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Fail-soft, progressive design: stdout carries ONLY JSON lines, one emitted
+after every completed phase (cumulative — each line carries every metric
+known so far, so the LAST line is always the most complete). Each phase runs
+under its own deadline (signal.alarm); a phase that blows its budget is
+recorded as null and the bench moves on instead of producing nothing.
 
-- value: ris throughput in queries/second on the TPU engine (full pipeline:
-  device accessibility DP + seed + device ungapped/gapped extensions + CSV
-  output), measured on a 100-query x ~1k-nt vs 20-target x ~5k-nt workload
-  after a warm-up run (jit compiles are disk-cached; steady state).
+Metrics:
+- value / metric=ris_queries_per_s_per_chip: full ris pipeline throughput on
+  the TPU engine (device accessibility DP + fused device seed-expansion/
+  ungapped + device gapped extension + CSV output), measured on a 100-query
+  x ~1k-nt vs 20-target x ~5k-nt workload after a warm-up run (jit compiles
+  are disk-cached; steady state).
 - vs_baseline: value / reference-binary throughput on the same workload and
-  host (single process, all OpenMP threads). The reference binary is built
-  on demand from /root/reference with the single-process MPI shim.
-- vs_cluster_est: value / an extrapolation of the reference to the
-  BASELINE.md bar (16 nodes x 16 cores, assuming linear scaling from this
-  host's core count) — the honest comparison against the published
-  deployment scale.
-- db_nt_per_s / db_vs_baseline: db-step throughput (accessibility-dominated)
-  on the TPU engine vs the reference binary, same convention.
+  host (single process, all OpenMP threads). Built on demand from
+  /root/reference with the single-process MPI shim; runs on CPU
+  concurrently with the TPU warm-up so it costs no wall-clock.
+- vs_cluster_est: value / linear extrapolation of the reference to the
+  BASELINE.md deployment (16 nodes x 16 cores) — the honest comparison
+  against the published scale.
+- db_nt_per_s / db_vs_baseline: db-step throughput (accessibility-
+  dominated), same convention.
+
+Note on the first phase's budget: on tunneled single-chip hosts the first
+device dispatch of a process can block for minutes in the device-claim
+queue; the db phase budget absorbs it (claim_s is reported separately).
 """
 
 import json
 import os
 import random
+import signal
 import subprocess
 import sys
 import time
@@ -32,6 +43,62 @@ sys.path.insert(0, str(REPO))
 N_Q, Q_LEN = 100, 1000
 N_DB, DB_LEN = 20, 5000
 CLUSTER_CORES = 256  # BASELINE.md: 16 nodes x 16 threads
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+class PhaseTimeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise PhaseTimeout
+
+
+def phase_budget(name: str, default: int) -> int:
+    return int(os.environ.get(f"PRIBLAST_BENCH_{name}_BUDGET", default))
+
+
+class Bench:
+    def __init__(self):
+        self.out = {
+            "metric": "ris_queries_per_s_per_chip",
+            "value": None,
+            "unit": "queries/s",
+            "vs_baseline": None,
+            "workload": f"{N_Q}x{Q_LEN}nt queries vs {N_DB}x{DB_LEN}nt db",
+            "ref_host_qps": None,
+            "ref_host_cores": os.cpu_count() or 1,
+            "vs_cluster_est": None,
+            "db_nt_per_s": None,
+            "db_vs_baseline": None,
+            "claim_s": None,
+            "phases": {},
+        }
+        signal.signal(signal.SIGALRM, _alarm)
+
+    def emit(self) -> None:
+        print(json.dumps(self.out), flush=True)
+
+    def phase(self, name: str, budget: int, fn) -> bool:
+        t0 = time.time()
+        signal.alarm(budget)
+        try:
+            fn()
+            ok = True
+        except PhaseTimeout:
+            log(f"[bench] phase {name} exceeded {budget}s budget")
+            ok = False
+        except Exception as e:  # fail-soft: later phases may still work
+            log(f"[bench] phase {name} failed: {type(e).__name__}: {e}")
+            ok = False
+        finally:
+            signal.alarm(0)
+        self.out["phases"][name] = round(time.time() - t0, 1)
+        self.emit()
+        return ok
 
 
 def write_fasta(path: Path, seqs) -> int:
@@ -72,45 +139,83 @@ def build_reference() -> Path | None:
             ["g++", "-std=c++17", "-O2", "-fopenmp",
              "-I", str(REPO / "tools" / "mpi_shim"),
              "-o", str(out)] + [str(p) for p in sorted(src.glob("*.cpp"))],
-            check=True, capture_output=True, timeout=300)
+            check=True, capture_output=True, timeout=600)
         return out
-    except Exception:
+    except Exception as e:
+        log(f"[bench] reference build failed: {e}")
         return None
 
 
-def time_cmd(argv, cwd, env=None) -> float:
-    t0 = time.time()
-    subprocess.run(argv, check=True, capture_output=True,
-                   env=env or dict(os.environ), cwd=cwd)
-    return time.time() - t0
-
-
 def main() -> None:
-    from priblast_tpu.models import db as db_model
-    from priblast_tpu.models import ris as ris_model
-    from priblast_tpu.utils.params import DbParams, RisParams
-
+    bench = Bench()
+    out = bench.out
     tmp = REPO / "tools" / "_bench_round"
     tmp.mkdir(parents=True, exist_ok=True)
     db_nt, _q_nt = make_workload(tmp)
 
-    # --- db step, TPU engine (warm + timed)
-    def tpu_db(tag):
+    # --- reference baseline: runs on CPU in the background while the TPU
+    # claim + warm-up proceeds in this process (2-core host: the subprocess
+    # competes only with the mostly-idle claim wait)
+    ref_script = tmp / "_ref_times.json"
+    ref_proc = None
+    refbin = build_reference()
+    if refbin is not None:
+        ref_runner = (
+            "import json,subprocess,time,os,sys\n"
+            f"tmp={str(tmp)!r}; b={str(refbin)!r}\n"
+            "env=dict(os.environ,OMP_NUM_THREADS=str(os.cpu_count() or 1))\n"
+            "def t(argv):\n"
+            "    t0=time.time()\n"
+            "    subprocess.run(argv,check=True,capture_output=True,"
+            "env=env,cwd=tmp)\n"
+            "    return time.time()-t0\n"
+            "r={}\n"
+            "r['db']=t([b,'db','-i',tmp+'/db.fa','-o',tmp+'/db_ref',"
+            "'-a','block'])\n"
+            "r['ris']=t([b,'ris','-i',tmp+'/q.fa','-o',tmp+'/ris_ref.txt',"
+            "'-d',tmp+'/db_ref'])\n"
+            f"json.dump(r,open({str(ref_script)!r},'w'))\n")
+        ref_script.unlink(missing_ok=True)
+        ref_proc = subprocess.Popen([sys.executable, "-c", ref_runner],
+                                    stdout=subprocess.DEVNULL,
+                                    stderr=subprocess.DEVNULL)
+
+    from priblast_tpu.models import db as db_model
+    from priblast_tpu.models import ris as ris_model
+    from priblast_tpu.utils.params import DbParams, RisParams
+
+    # --- phase: claim + db warm (first device dispatch pays the claim)
+    def db_warm():
         t0 = time.time()
         db_model.run(DbParams(input=str(tmp / "db.fa"),
-                              db_name=str(tmp / f"db_tpu_{tag}"),
+                              db_name=str(tmp / "db_tpu_warm"),
                               algorithm="block", engine="tpu"))
-        return time.time() - t0
+        out["claim_s"] = round(time.time() - t0, 1)  # includes claim+compile
 
-    tpu_db("warm")
-    db_rate = db_nt / tpu_db("timed")
+    warmed = bench.phase("db_warm", phase_budget("DB_WARM", 3000), db_warm)
 
-    # --- shared parity db for the search runs (byte-identical files)
-    db_model.run(DbParams(input=str(tmp / "db.fa"),
-                          db_name=str(tmp / "db_exact"),
-                          algorithm="block", engine="exact"))
+    # --- phase: db timed
+    def db_timed():
+        t0 = time.time()
+        db_model.run(DbParams(input=str(tmp / "db.fa"),
+                              db_name=str(tmp / "db_tpu_timed"),
+                              algorithm="block", engine="tpu"))
+        out["db_nt_per_s"] = round(db_nt / (time.time() - t0), 1)
 
-    # --- ris step, TPU engine (warm + timed)
+    if warmed:
+        bench.phase("db_timed", phase_budget("DB_TIMED", 600), db_timed)
+
+    # --- phase: parity db for the search runs (host engine, byte-identical)
+    def db_exact():
+        if not (tmp / "db_exact.bas").exists():
+            db_model.run(DbParams(input=str(tmp / "db.fa"),
+                                  db_name=str(tmp / "db_exact"),
+                                  algorithm="block", engine="exact"))
+
+    bench.phase("db_exact", phase_budget("DB_EXACT", 600), db_exact)
+
+    # --- phase: ris warm (compiles the fused/gapped search programs once;
+    # disk-cached for later runs)
     def tpu_ris(tag):
         p = RisParams(input=str(tmp / "q.fa"),
                       output=str(tmp / f"ris_{tag}.txt"),
@@ -119,43 +224,47 @@ def main() -> None:
         ris_model.run(p)
         return time.time() - t0
 
-    tpu_ris("warm")
-    ris_qps = N_Q / tpu_ris("timed")
+    def ris_warm():
+        tpu_ris("warm")
 
-    # --- reference baselines (same host, all threads)
-    ncores = os.cpu_count() or 1
-    ref_db_rate = ref_qps = None
-    refbin = build_reference()
-    if refbin is not None:
-        env = dict(os.environ, OMP_NUM_THREADS=str(ncores))
-        try:
-            ref_db_rate = db_nt / time_cmd(
-                [str(refbin), "db", "-i", str(tmp / "db.fa"), "-o",
-                 str(tmp / "db_ref"), "-a", "block"], tmp, env)
-            ref_qps = N_Q / time_cmd(
-                [str(refbin), "ris", "-i", str(tmp / "q.fa"), "-o",
-                 str(tmp / "ris_ref.txt"), "-d", str(tmp / "db_exact")],
-                tmp, env)
-        except Exception:
-            pass
+    ris_ok = bench.phase("ris_warm", phase_budget("RIS_WARM", 2400),
+                         ris_warm)
 
-    out = {
-        "metric": "ris_queries_per_s_per_chip",
-        "value": round(ris_qps, 3),
-        "unit": "queries/s",
-        "vs_baseline": (round(ris_qps / ref_qps, 2) if ref_qps else None),
-        "workload": f"{N_Q}x{Q_LEN}nt queries vs {N_DB}x{DB_LEN}nt db",
-        "ref_host_qps": round(ref_qps, 3) if ref_qps else None,
-        "ref_host_cores": ncores,
-        # linear-scaling extrapolation of the reference to the 16-node bar
-        "vs_cluster_est": (round(ris_qps / (ref_qps * CLUSTER_CORES
-                                            / ncores), 3)
-                           if ref_qps else None),
-        "db_nt_per_s": round(db_rate, 1),
-        "db_vs_baseline": (round(db_rate / ref_db_rate, 2)
-                           if ref_db_rate else None),
-    }
-    print(json.dumps(out))
+    # --- phase: ris timed (the headline number)
+    def ris_timed():
+        out["value"] = round(N_Q / tpu_ris("timed"), 3)
+
+    if ris_ok:
+        bench.phase("ris_timed", phase_budget("RIS_TIMED", 1200), ris_timed)
+
+    # --- phase: join the reference baseline and fill the ratios
+    def ref_join():
+        if ref_proc is None:
+            return
+        ref_proc.wait(timeout=max(1, phase_budget("REF", 900) - 5))
+        if not ref_script.exists():
+            return
+        r = json.load(open(ref_script))
+        ncores = out["ref_host_cores"]
+        if r.get("db"):
+            ref_db_rate = db_nt / r["db"]
+            if out["db_nt_per_s"]:
+                out["db_vs_baseline"] = round(
+                    out["db_nt_per_s"] / ref_db_rate, 2)
+        if r.get("ris"):
+            out["ref_host_qps"] = round(N_Q / r["ris"], 3)
+            if out["value"]:
+                out["vs_baseline"] = round(out["value"] / out["ref_host_qps"],
+                                           2)
+                out["vs_cluster_est"] = round(
+                    out["value"] / (out["ref_host_qps"] * CLUSTER_CORES
+                                    / ncores), 3)
+
+    bench.phase("ref", phase_budget("REF", 900), ref_join)
+    if ref_proc is not None and ref_proc.poll() is None:
+        ref_proc.kill()
+
+    bench.emit()
 
 
 if __name__ == "__main__":

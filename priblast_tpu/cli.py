@@ -59,6 +59,10 @@ def _ris_parser(sub) -> None:
                    help="directory for multi-process part files")
     q.add_argument("--engine", dest="engine", default="auto",
                    choices=["auto", "exact", "tpu"])
+    q.add_argument("--dtype", dest="dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="device-kernel dtype: float64 gives ~1e-9 kcal/mol "
+                        "agreement with --engine exact at device scale")
     q.add_argument("--threads", dest="threads", type=int, default=0)
 
 

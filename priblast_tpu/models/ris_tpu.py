@@ -75,8 +75,9 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
     from priblast_tpu.parallel import dist
 
     mesh = dist.maybe_mesh()
+    dtype = getattr(p, "dtype", "float32") or "float32"
     engine = BatchedRaccess(p.maximal_span, p.min_accessible_length,
-                            dtype="float32", mesh=mesh)
+                            dtype=dtype, mesh=mesh)
     native.lib()
     threads = threads or min(32, os.cpu_count() or 1)
     lengths = [len(s) for s in seqs]
@@ -120,7 +121,7 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
                              [q[3] for q in queries],
                              [q[1] for q in queries], mesh=mesh)
         stream, finished = pl.search_all(p, chunks, queries, qpack, dbpack,
-                                         threads=threads)
+                                         threads=threads, dtype=dtype)
         with prof.stage("ris.format"):
             per_query: dict[int, list[str]] = {idx: [] for idx in wave}
             for (qid, cid, _lo, _hi), res in zip(stream.groups, finished):

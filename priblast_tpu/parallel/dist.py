@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from priblast_tpu.utils import jaxcache
+
+jaxcache.enable()  # persistent XLA compile cache for every kernel module
+
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

@@ -42,6 +42,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
+from priblast_tpu.utils import jaxcache
+
+jaxcache.enable()  # persistent XLA compile cache for every kernel module
+
 
 from priblast_tpu.search.ungapped import ungapped_core
 
@@ -172,10 +176,23 @@ def _fused_sharded(mesh, d, max_len, sbits, dtype_name, thr, dropout,
                    cap, B):
     """shard_map variant: each device owns a contiguous pid block and
     compacts locally; device-major concatenation preserves pid order."""
-    from jax.experimental.shard_map import shard_map
+    import functools as _ft
+
+    try:
+        from jax import shard_map as _sm
+
+        shard_map = _ft.partial(_sm, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sme
+
+        shard_map = _ft.partial(_sme, check_rep=False)
 
     ndev = int(np.prod(mesh.devices.shape))
-    assert B % ndev == 0 and cap % ndev == 0
+    if B % ndev or cap % ndev:
+        raise ValueError(
+            f"fused pair block B={B} and cap={cap} must divide the mesh "
+            f"size {ndev}; use a power-of-two device count or shrink the "
+            f"mesh (jax.sharding.Mesh over a 2^k subset)")
 
     def per_dev(o, n_pairs, cand, cum, energy_c, q_sa, db_sa, start_pos,
                 seq_len, abs_aoff, abs_coff, qbufs, dbufs):
@@ -193,8 +210,7 @@ def _fused_sharded(mesh, d, max_len, sbits, dtype_name, thr, dropout,
                    out_specs=({k: P("data") for k in
                                ("q_sp", "db_sp", "q_len", "db_len",
                                 "dbseq_id", "dbseq_start", "acc_e",
-                                "hyb_e", "energy", "pid")}, P("data")),
-                   check_rep=False)
+                                "hyb_e", "energy", "pid")}, P("data")))
     return jax.jit(fn)
 
 
@@ -249,7 +265,11 @@ class _WaveBuffers:
             self.gbounds.append((qid, cid, tot, tot + npairs))
             pos += n
             tot += npairs
-        assert tot < (1 << 31), "pair stream exceeds int32 (split the wave)"
+        # lanes compute pid = o + iota up to o + B - 1, which can overrun
+        # tot by up to the largest block size; keep that margin below the
+        # int32 wrap so padding lanes can never alias real pair indices
+        assert tot + _PAIR_LADDER[-1] <= (1 << 31) - 1, \
+            "pair stream exceeds int32 (split the wave)"
         self.tot = tot
         cum = np.zeros(ncp + 1, np.int64)
         np.cumsum(cnt, out=cum[1:])
@@ -270,8 +290,15 @@ def fused_stage(p, cands, qpack, dbpack, dtype: str = "float32"):
 
     wb = _WaveBuffers(p, cands, qpack, dbpack, dtype)
     mesh = dbpack.mesh
+    # device filter threshold, rounded toward +inf in f32 so the device
+    # keeps a superset for -f values not exactly representable in f32; the
+    # exact f64 comparison is re-applied on the compacted host energies
+    thr = float(p.interaction_energy_threshold)
+    thr32 = np.float32(thr)
+    if float(thr32) < thr:
+        thr32 = np.nextafter(thr32, np.float32(np.inf))
     statics = (p.min_accessible_length, p.max_seed_length, wb.sbits, dtype,
-               float(p.interaction_energy_threshold),
+               float(thr32),
                p.drop_out_length_wo_gap)
     bufs = (wb.cand, wb.cum, wb.energy, qpack.sa, dbpack.sa_j,
             dbpack.start_pos_j, dbpack.seq_len_j, dbpack.abs_acc_off_j,
@@ -315,6 +342,11 @@ def fused_stage(p, cands, qpack, dbpack, dtype: str = "float32"):
         flat = {k: np.zeros(0, np.float32 if k in ("acc_e", "hyb_e",
                                                    "energy") else np.int32)
                 for k in _OUT_KEYS}
+    # exact f64 threshold re-check (matches threshold_stage semantics:
+    # f32-valued energies compared against the double threshold)
+    fkeep = flat["energy"].astype(np.float64) <= p.interaction_energy_threshold
+    if not fkeep.all():
+        flat = {k: v[fkeep] for k, v in flat.items()}
     pids = flat.pop("pid")
     soa = {k: (v.astype(np.float64) if k in ("acc_e", "hyb_e", "energy")
                else v) for k, v in flat.items()}

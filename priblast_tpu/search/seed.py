@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from priblast_tpu.utils import jaxcache
+
+jaxcache.enable()  # persistent XLA compile cache for every kernel module
+
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))

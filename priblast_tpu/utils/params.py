@@ -52,6 +52,10 @@ class RisParams:
     algorithm: str = "area"
     tmp_path: str = ""
     engine: str = "auto"  # auto | exact | tpu
+    # device-kernel accumulation dtype: float32 (fast, ~1e-4 kcal/mol
+    # deviation from the host engine) or float64 (slow on TPU but ~1e-9
+    # parity — for users who want exact-engine agreement at device scale)
+    dtype: str = "float32"
     # inherited from the db's .bas file:
     hash_size: int = 0
     repeat_flag: int = 0

@@ -29,6 +29,8 @@ def t(msg, t0):
 def main() -> None:
     nq = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     upto = sys.argv[2] if len(sys.argv) > 2 else "finish"
+    if upto == "fused":
+        return fused_main(nq)
     wd = REPO / "tools" / "_bench_round"
     p = RisParams(input=str(wd / "q.fa"), output="/dev/null",
                   db_name=str(wd / "db_exact"), engine="tpu")
@@ -91,6 +93,50 @@ def main() -> None:
     res = pl.finish_stage(stream, bps, queries, chunks, p, threads=2)
     nfin = sum(len(r["q_sp"]) for r in res)
     t0 = t(f"finish ({nfin} hits)", t0)
+
+
+def fused_main(nq: int) -> None:
+    """Probe the production fused path (pl.search_all) with stage timers and
+    a second repeat to split compile-vs-execute."""
+    import os
+
+    os.environ["PRIBLAST_TIMINGS"] = "1"
+    wd = REPO / "tools" / "_bench_round"
+    p = RisParams(input=str(wd / "q.fa"), output="/dev/null",
+                  db_name=str(wd / "db_exact"), engine="tpu")
+    p.load_db_params()
+    names, seqs = fasta.read_fasta(p.input)
+    seqs = seqs[:nq]
+    chunks = store.load_chunks(p.db_name, p.hash_size)
+    native.lib()
+
+    t0 = time.perf_counter()
+    from priblast_tpu.search import pipeline as pl
+
+    queries = []
+    for seq in seqs:
+        q_acc, q_cond = native.raccess(alphabet.access_codes(seq),
+                                       p.maximal_span,
+                                       p.min_accessible_length)
+        q_enc = alphabet.encode_query(seq, p.repeat_flag)
+        queries.append((q_enc, native.sa_build(q_enc), q_acc, q_cond))
+    t0 = t("host accessibility+sa", t0)
+
+    qpack = pl.QueryPack([q[0].astype(np.int32) for q in queries],
+                         [q[2] for q in queries], [q[3] for q in queries],
+                         [q[1] for q in queries])
+    dbpack = pl.DbPack(chunks)
+    t0 = t("packs", t0)
+
+    for rep in range(2):
+        stream, res = pl.search_all(p, chunks, queries, qpack, dbpack,
+                                    threads=4)
+        nfin = sum(len(r["q_sp"]) for r in res)
+        t0 = t(f"search_all rep{rep} ({nfin} hits)", t0)
+        from priblast_tpu.utils import profiling as prof
+        print(prof.report(), flush=True)
+        prof._times.clear()
+        prof._counts.clear()
 
 
 if __name__ == "__main__":
