@@ -25,12 +25,29 @@ from priblast_tpu.utils import profiling as prof
 from priblast_tpu.utils.params import RisParams
 
 
-def device_extend_enabled() -> bool:
-    """Device extension chain (seed hits extended on-device via the batched
-    ungapped + gapped kernels instead of the host engine threads). On by
-    default — the first TPU compile is slow but disk-cached."""
-    return os.environ.get("PRIBLAST_DEVICE_EXTEND", "1") not in ("0",
-                                                                 "false")
+def device_extend_mode() -> str:
+    """Device extension chain (seed hits extended on-device via the fused
+    expansion/ungapped + gapped kernels instead of the host engine threads).
+
+    PRIBLAST_DEVICE_EXTEND: 1 always, 0 never, auto (default) decide per
+    wave from the seed-candidate pair count — small workloads finish on the
+    host in less than one device dispatch round-trip, large ones amortize
+    the dispatches over millions of lockstep lanes (measured on-chip:
+    tools/stage_probe.py, NOTES.md round-3 table)."""
+    v = os.environ.get("PRIBLAST_DEVICE_EXTEND", "auto").lower()
+    if v in ("0", "false", "never"):
+        return "never"
+    if v in ("1", "true", "always"):
+        return "always"
+    return "auto"
+
+
+def auto_pair_threshold() -> int:
+    """Pair count above which the device path wins (auto mode). Calibrated
+    on the round-3 bench host (one tunneled v5e chip, 2 CPU cores): the
+    host chain clears ~60k pairs/s/core; a device wave costs ~3 dispatch
+    round-trips (~0.1 s) plus ~0.5 s per 64k-pair block."""
+    return int(os.environ.get("PRIBLAST_DEVICE_EXTEND_MIN_PAIRS", 200_000))
 
 
 def _wave_plan(order, lengths, max_nt: int = 4 << 20, max_q: int = 1024):
@@ -81,12 +98,11 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
     native.lib()
     threads = threads or min(32, os.cpu_count() or 1)
     lengths = [len(s) for s in seqs]
-    dev_extend = device_extend_enabled()
+    mode = device_extend_mode()
 
-    if dev_extend:
+    dbpack = None
+    if mode != "never":
         from priblast_tpu.search import pipeline as pl
-
-        dbpack = pl.DbPack(chunks, mesh=mesh)
 
     from priblast_tpu.models.ris import format_hits
 
@@ -108,7 +124,21 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
             q_acc, q_cond = accs[idx]
             queries.append((q_enc, q_sa, q_acc, q_cond))
 
-        if not dev_extend:
+        cands = None
+        use_device = mode == "always"
+        if mode == "auto":
+            # host seed DFS is cheap; its candidate pair count is the size
+            # signal for host-vs-device extension (reused by the device path)
+            from priblast_tpu.search import seed as seed_mod
+
+            cands = seed_mod.seed_candidates(p, chunks, queries, threads)
+            n_pairs = sum(
+                int(((c["db_sp"] - c["q_sp"] + 1).astype(np.int64)
+                     * (c["db_len"] - c["q_len"] + 1)).sum())
+                for _, c in cands)
+            use_device = n_pairs >= auto_pair_threshold()
+
+        if not use_device:
             with cf.ThreadPoolExecutor(threads) as ex:
                 futs = {ex.submit(host_search, idx, *queries[k]): idx
                         for k, idx in enumerate(wave)}
@@ -116,12 +146,15 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
                     results[futs[f]] = f.result()
             continue
 
+        if dbpack is None:
+            dbpack = pl.DbPack(chunks, mesh=mesh)
         qpack = pl.QueryPack([q[0].astype(np.int32) for q in queries],
                              [q[2] for q in queries],
                              [q[3] for q in queries],
                              [q[1] for q in queries], mesh=mesh)
         stream, finished = pl.search_all(p, chunks, queries, qpack, dbpack,
-                                         threads=threads, dtype=dtype)
+                                         threads=threads, dtype=dtype,
+                                         cands=cands)
         with prof.stage("ris.format"):
             per_query: dict[int, list[str]] = {idx: [] for idx in wave}
             for (qid, cid, _lo, _hi), res in zip(stream.groups, finished):

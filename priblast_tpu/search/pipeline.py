@@ -442,9 +442,11 @@ def finish_stage(stream: HitStream, bps: dict, queries, chunks, p,
 
 
 def search_all(p, chunks, queries, qpack: QueryPack, dbpack: DbPack, *,
-               threads: int = 1, max_ext: int = 64, dtype: str = "float32"):
+               threads: int = 1, max_ext: int = 64, dtype: str = "float32",
+               cands=None):
     """Full staged pipeline. Returns (stream, results) where results is the
-    per-group finished SoA list aligned with stream.groups."""
+    per-group finished SoA list aligned with stream.groups. `cands`: host
+    seed-DFS candidates, if the caller already ran them (auto path picker)."""
     from priblast_tpu.utils import profiling as prof
 
     with prof.stage("ris.seed"):
@@ -454,7 +456,8 @@ def search_all(p, chunks, queries, qpack: QueryPack, dbpack: DbPack, *,
             # readback — the transfer-frugal production path)
             from priblast_tpu.search import fused, seed
 
-            cands = seed.seed_candidates(p, chunks, queries, threads)
+            if cands is None:
+                cands = seed.seed_candidates(p, chunks, queries, threads)
             stream = fused.fused_stage(p, cands, qpack, dbpack, dtype=dtype)
         else:
             # staged fallback: per-(query, chunk) native stage-1 hits,
