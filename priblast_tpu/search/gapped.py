@@ -229,6 +229,9 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
 
     dmr = revpad(dm, 0)
     extdbr = revpad(extdb, INF)
+    # one-left-padded view for the +1-offset char of the row being written
+    # (dm[L - k + 1] needs rev index rev0 - 1, which is -1 at L = XW - 1)
+    dmr1 = jnp.concatenate([jnp.zeros((B, 1), dmr.dtype), dmr], axis=1)
 
     def dslice(arr, start, width=W):
         start = jnp.asarray(start, jnp.int32)
@@ -251,12 +254,29 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
     origin_row = jnp.zeros((B, W), jnp.int32).at[:, 0].set(otype)
     o_adm = jnp.zeros((B, W), bool).at[:, 0].set(valid)
 
+    # per-cell mismatch-table value, precomputed when a diagonal row is
+    # written and stored alongside the DP state: the interior-loop mismatch
+    # term mismI[pred_type, ·, ·] of a predecessor cell (diag D, lane k)
+    # depends only on that cell (chars qm[k+1], dm[D-k+1]), so computing it
+    # once per row replaces a [B, C, W] irregular-index gather per step
+    # with one [B, W] gather (reference term: gapped_extension.cpp:426-473
+    # internal-loop mismatch factors)
+    qp1 = qm[:, 1:W + 1]
+
+    def mism_row(st_row, dmp1):
+        if flag == 0:
+            return t["mismI"][(st_row * 5 + dmp1) * 5 + qp1]
+        return t["mismI"][(st_row * 5 + qp1) * 5 + dmp1]
+
+    v_origin = mism_row(origin_row, dslice(dmr1, XW - 1))
+
     hyb_buf = jnp.full((B, DD, W), INF, dt).at[:, OFF, 0].set(
         energy0.astype(dt))
     st_buf = jnp.zeros((B, DD, W), jnp.int32).at[:, OFF, :].set(origin_row)
     mt_buf = jnp.zeros((B, DD, W), jnp.int32).at[:, OFF, :].set(origin_row)
     adm_buf = jnp.zeros((B, DD, W), bool).at[:, OFF, :].set(o_adm)
     pred_buf = jnp.full((B, DD, W), -1, jnp.int32)
+    vm_buf = jnp.zeros((B, DD, W), dt).at[:, OFF, :].set(v_origin)
 
     # (u1, u2) predecessor offsets in the reference's stems-list order
     # (pred diagonal ascending = s descending, then k ascending = u1
@@ -268,24 +288,17 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
     u1_np = np.array([u1 for _, u1 in combos], np.int32)
     u2_np = np.array([s - u1 for s, u1 in combos], np.int32)
     s_np = u1_np + u2_np
-    iW = np.arange(W, dtype=np.int32)
-    k_np = iW[None, :] - u1_np[:, None] - 1                  # pred lane k
-    kmask = jnp.asarray((k_np >= 0)[None])                   # [1, C, W]
-    win_idx = jnp.asarray(
-        ((dropout - s_np)[:, None] * W + np.clip(k_np, 0, W - 1)
-         ).reshape(-1))
-    cq_idx = jnp.asarray(
-        np.clip(iW[None, :] - u1_np[:, None], 0, W - 1).reshape(-1))
-    dd_idx = jnp.asarray((u2_np[:, None] + iW[None, :]).reshape(-1))
 
-    # combo-class masks and per-combo constants (raw table units)
+    # combo classes and per-combo constants (raw table units). Combos whose
+    # energy is not "intloop + shared mismatch + predecessor mismatch" are
+    # patched individually: the 4 small-internal specials, the 2 size-1
+    # bulges and the stack combo (all with per-combo [B, W] table lookups).
     r_np = _tables_np()
     is_bulge = (u1_np == 0) ^ (u2_np == 0)
-    is_b1 = is_bulge & (s_np == 1)
     is_bN = is_bulge & (s_np >= 2)
-    is_stk = s_np == 0
     spec_idx = [ci for ci, (s, u1) in enumerate(combos)
                 if (u1, s - u1) in ((1, 1), (1, 2), (2, 1), (2, 2))]
+    stk_idx = [ci for ci, (s, u1) in enumerate(combos) if s <= 1]
     bconst_np = np.zeros(C)
     for ci in range(C):
         s = int(s_np[ci])
@@ -299,9 +312,7 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
 
     bconst = c1(bconst_np, dt)
     iconst = c1(iconst_np, dt)
-    m_b1 = c1(is_b1, bool)
     m_bN = c1(is_bN, bool)
-    m_stk = c1(is_stk, bool)
     u1_c = jnp.asarray(u1_np)
     u2_c = jnp.asarray(u2_np)
     TAU = t["term_au"]
@@ -317,6 +328,7 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         win_s = lax.dynamic_slice(st["st"], (z0, L, z0), (B, dropout + 2, W))
         win_a = lax.dynamic_slice(st["adm"], (z0, L, z0), (B, dropout + 2, W))
         win_m = lax.dynamic_slice(st["mt"], (z0, L, z0), (B, dropout + 2, W))
+        win_v = lax.dynamic_slice(st["vm"], (z0, L, z0), (B, dropout + 2, W))
 
         # stems[0] fallback: when a cell has no finite predecessor the
         # reference records stems[0] (first surviving stem) in the cell
@@ -360,42 +372,47 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         adm_new = cellmask & (type1 != 0)
 
         # --- predecessor window min over the combo axis (stems-list order).
-        # Predecessor hybrid/type/admitted values are one flat gather each;
-        # loop energies are computed class-wise over [B, C, W] (stack /
-        # bulge / general-internal via masks; the four small-internal
-        # special cases patched in individually).
-        ph_all = jnp.take(win_h.reshape(B, -1), win_idx,
-                          axis=1).reshape(B, C, W)
-        pt_all = jnp.take(win_s.reshape(B, -1), win_idx,
-                          axis=1).reshape(B, C, W)
-        pa_all = jnp.take(win_a.reshape(B, -1), win_idx,
-                          axis=1).reshape(B, C, W) & kmask
-        cq_all = jnp.take(qm_i, cq_idx, axis=1).reshape(B, C, W)
-        dm_win = dslice(dmr, rev0, W + dropout)
-        dd_all = jnp.take(dm_win, dd_idx, axis=1).reshape(B, C, W)
+        # Combo (s, u1)'s predecessor values live at window row dropout - s,
+        # lane i - u1 - 1: a STATIC row index and a STATIC lane shift, so
+        # the [B, C, W] predecessor tensors are stacks of shifted row views
+        # (full-bandwidth copies) instead of irregular-index gathers — the
+        # gathers were the measured on-chip bottleneck (NOTES.md round 3).
+        def shifted(win, fill):
+            return jnp.stack([_sr(win[:, dropout - s, :], u1 + 1, fill)
+                              for (s, u1) in combos], axis=1)
+
+        ph_all = shifted(win_h, INF)
+        pt_all = shifted(win_s, 0)
+        pa_all = shifted(win_a, False)   # shift-in False == k >= 0 mask
+        vm_all = shifted(win_v, jnp.asarray(0, dt))
 
         t1b = type1[:, None, :]
         if flag == 0:
-            stack_all = t["stack"][t1b * 7 + pt_all]
-            mism_combo = t["mismI"][(pt_all * 5 + dd_all) * 5 + cq_all]
             mism_shared = t["mismI"][(type1 * 5 + qm_im1) * 5 + dm_b]
         else:
-            stack_all = t["stack"][pt_all * 7 + t1b]
-            mism_combo = t["mismI"][(pt_all * 5 + cq_all) * 5 + dd_all]
             mism_shared = t["mismI"][(type1 * 5 + dm_b) * 5 + qm_im1]
-        E = iconst + mism_shared[:, None, :] + mism_combo
+        # general internal loop: length const + shared mismatch (current
+        # cell) + predecessor-cell mismatch (precomputed row value)
+        E = iconst + mism_shared[:, None, :] + vm_all
         au_term = (jnp.where(t1b > 2, TAU, jnp.asarray(0, dt))
                    + jnp.where(pt_all > 2, TAU, jnp.asarray(0, dt)))
         E = jnp.where(m_bN, bconst + au_term, E)
-        E = jnp.where(m_b1, bconst + stack_all, E)
-        E = jnp.where(m_stk, stack_all, E)
+        # stack (s=0) and size-1 bulges (s=1): stack37[t1, pt] lookups on
+        # just those combos
+        for ci in stk_idx:
+            s, _u1 = combos[ci]
+            pt_r = pt_all[:, ci, :]
+            stk = (t["stack"][type1 * 7 + pt_r] if flag == 0
+                   else t["stack"][pt_r * 7 + type1])
+            e_ci = stk if s == 0 else jnp.asarray(r_np["bulge"][1], dt) + stk
+            E = E.at[:, ci, :].set(e_ci)
         E = E / 100.0
         for ci in spec_idx:
             s, u1 = combos[ci]
             u2 = s - u1
             pt_r = pt_all[:, ci, :]
-            cq_r = cq_all[:, ci, :]
-            dd_r = dd_all[:, ci, :]
+            cq_r = _sr(qm_i, u1, 0)               # qm[i - u1] = qm[k + 1]
+            dd_r = dslice(dmr, rev0 + u2)         # dm[L - i - u2] = dm[l + 1]
             if flag == 0:
                 ta, tb, a, b, c, dch = type1, pt_r, qm_im1, dm_b, cq_r, dd_r
             else:
@@ -419,6 +436,7 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         st_row = jnp.where(adm_new, rt[type1], 0)
         mt_row = jnp.where(adm_new, ptype, 0)
         pr_row = jnp.where(adm_new, packed, -1)
+        vm_row = mism_row(st_row, dslice(dmr1, rev0))
 
         def upd(buf, row):
             return lax.dynamic_update_slice(buf, row[:, None, :],
@@ -448,14 +466,15 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
                     min_a=min_a,
                     hyb=upd(st["hyb"], hyb_row), st=upd(st["st"], st_row),
                     mt=upd(st["mt"], mt_row), adm=upd(st["adm"], adm_new),
-                    pred=upd(st["pred"], pr_row))
+                    pred=upd(st["pred"], pr_row), vm=upd(st["vm"], vm_row))
 
     st = dict(L=jnp.asarray(1, jnp.int32), active=valid,
               ovf=jnp.zeros(B, bool),
               min_e=energy0.astype(dt), min_i=jnp.zeros(B, jnp.int32),
               min_j=jnp.zeros(B, jnp.int32), min_len=jnp.zeros(B, jnp.int32),
               min_a=acc0.astype(dt),
-              hyb=hyb_buf, st=st_buf, mt=mt_buf, adm=adm_buf, pred=pred_buf)
+              hyb=hyb_buf, st=st_buf, mt=mt_buf, adm=adm_buf, pred=pred_buf,
+              vm=vm_buf)
     st = lax.while_loop(lambda s: jnp.any(s["active"]), body, st)
 
     # --- device traceback (reference: gapped_extension.cpp:409-424): walk

@@ -1,0 +1,141 @@
+"""GENCODE-scale (or fractional-scale) end-to-end run of the TPU framework.
+
+Builds a transcriptome-like workload with GENCODE-ish length statistics
+(lognormal mRNA targets ~2.5 kb median, lncRNA queries ~0.8 kb median),
+constructs a paginated database (-c 500, the reference's deployment page
+size, /root/reference/README.md:47), streams the queries through the ris
+step, and reports wall-clock + throughput + peak RSS per stage as JSON.
+
+Usage:
+  python tools/gencode_scale.py [--db-mnt 10] [--nq 1000] [--page 500]
+                                [--engine tpu] [--skip-db] [--out out.json]
+
+Default = the VERDICT round-3 target: >=10 Mnt db, >=1k queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def lognormal_lengths(rng, n, median, sigma, lo, hi):
+    x = rng.lognormal(mean=np.log(median), sigma=sigma, size=n)
+    return np.clip(x, lo, hi).astype(np.int64)
+
+
+def write_fasta_fast(path: Path, names, lengths, rng, width=70) -> int:
+    """Vectorized random-sequence FASTA writer (numpy byte codes)."""
+    bases = np.frombuffer(b"ACGU", dtype=np.uint8)
+    total = 0
+    with open(path, "wb") as f:
+        for name, n in zip(names, lengths):
+            n = int(n)
+            total += n
+            seq = bases[rng.integers(0, 4, n)]
+            f.write(b">" + name.encode() + b"\n")
+            for i in range(0, n, width):
+                f.write(seq[i: i + width].tobytes() + b"\n")
+    return total
+
+
+def peak_rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--db-mnt", type=float, default=10.0,
+                    help="database size in meganucleotides")
+    ap.add_argument("--nq", type=int, default=1000)
+    ap.add_argument("--page", type=int, default=500)
+    ap.add_argument("--engine", default="tpu", choices=["tpu", "exact"])
+    ap.add_argument("--skip-db", action="store_true",
+                    help="reuse an existing db build in the workdir")
+    ap.add_argument("--workdir", default="")
+    ap.add_argument("--out", default="")
+    ns = ap.parse_args()
+
+    wd = Path(ns.workdir or (REPO / "tools" / "_gencode_scale"))
+    wd.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(20260821)
+    rep = {"db_mnt_target": ns.db_mnt, "nq": ns.nq, "page": ns.page,
+           "engine": ns.engine}
+
+    # --- workload (GENCODE-ish length stats)
+    dbfa, qfa = wd / "db.fa", wd / "q.fa"
+    tag = wd / f"made_{ns.db_mnt}_{ns.nq}"
+    if not tag.exists():
+        target_nt = int(ns.db_mnt * 1e6)
+        # mRNA-like targets: median 2.5 kb, sigma 0.6, 200 nt .. 20 kb
+        lens = []
+        tot = 0
+        while tot < target_nt:
+            batch = lognormal_lengths(rng, 256, 2500, 0.6, 200, 20000)
+            for n in batch:
+                if tot >= target_nt:
+                    break
+                lens.append(int(n))
+                tot += int(n)
+        db_nt = write_fasta_fast(
+            dbfa, [f"mRNA_{i}" for i in range(len(lens))], lens, rng)
+        # lncRNA-like queries: median 800 nt, sigma 0.7, 200 nt .. 10 kb
+        qlens = lognormal_lengths(rng, ns.nq, 800, 0.7, 200, 10000)
+        q_nt = write_fasta_fast(
+            qfa, [f"lncRNA_{i}" for i in range(ns.nq)], qlens, rng)
+        json.dump({"db_nt": db_nt, "db_seqs": len(lens),
+                   "q_nt": int(q_nt)}, open(tag, "w"))
+        for old in wd.glob("made_*"):
+            if old != tag:
+                old.unlink()
+        for old in wd.glob("db_built*"):
+            old.unlink()
+    meta = json.load(open(tag))
+    rep.update(meta)
+    print(json.dumps({"workload": rep}), flush=True)
+
+    from priblast_tpu.models import db as db_model
+    from priblast_tpu.models import ris as ris_model
+    from priblast_tpu.utils.params import DbParams, RisParams
+
+    # --- db step (paginated, like the reference deployment)
+    built = wd / "db_built"
+    if not (ns.skip_db and built.exists()):
+        t0 = time.time()
+        db_model.run(DbParams(input=str(dbfa), db_name=str(wd / "gdb"),
+                              chunk_size=ns.page, algorithm="heap",
+                              engine=ns.engine))
+        dt = time.time() - t0
+        rep["db_s"] = round(dt, 1)
+        rep["db_nt_per_s"] = round(meta["db_nt"] / dt, 1)
+        rep["db_peak_rss_mb"] = round(peak_rss_mb(), 1)
+        built.touch()
+        print(json.dumps(rep), flush=True)
+
+    # --- ris step
+    t0 = time.time()
+    ris_model.run(RisParams(input=str(qfa), output=str(wd / "out.txt"),
+                            db_name=str(wd / "gdb"), engine=ns.engine))
+    dt = time.time() - t0
+    rep["ris_s"] = round(dt, 1)
+    rep["ris_queries_per_s"] = round(ns.nq / dt, 3)
+    rep["peak_rss_mb"] = round(peak_rss_mb(), 1)
+    nlines = sum(1 for _ in open(wd / "out.txt")) - 2
+    rep["predictions"] = nlines
+    print(json.dumps(rep), flush=True)
+    if ns.out:
+        json.dump(rep, open(ns.out, "w"))
+
+
+if __name__ == "__main__":
+    main()
