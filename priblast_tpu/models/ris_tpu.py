@@ -30,9 +30,10 @@ def device_extend_mode() -> str:
     expansion/ungapped + gapped kernels instead of the host engine threads).
 
     PRIBLAST_DEVICE_EXTEND: 1 always, 0 never, auto (default) decide per
-    wave from the seed-candidate pair count — small workloads finish on the
-    host in less than one device dispatch round-trip, large ones amortize
-    the dispatches over millions of lockstep lanes (measured on-chip:
+    wave by comparing the measured host-chain and device-chain rates on the
+    wave's candidate-pair count (device_extend_wins) — on a single tunneled
+    chip the native host chain wins at any size; a large device mesh tips
+    the estimate the other way (measured: tools/gapped_probe.py +
     tools/stage_probe.py, NOTES.md round-3 table)."""
     v = os.environ.get("PRIBLAST_DEVICE_EXTEND", "auto").lower()
     if v in ("0", "false", "never"):
@@ -42,12 +43,30 @@ def device_extend_mode() -> str:
     return "auto"
 
 
-def auto_pair_threshold() -> int:
-    """Pair count above which the device path wins (auto mode). Calibrated
-    on the round-3 bench host (one tunneled v5e chip, 2 CPU cores): the
-    host chain clears ~60k pairs/s/core; a device wave costs ~3 dispatch
-    round-trips (~0.1 s) plus ~0.5 s per 64k-pair block."""
-    return int(os.environ.get("PRIBLAST_DEVICE_EXTEND_MIN_PAIRS", 200_000))
+# Measured on the round-3 bench host (one tunneled v5e chip, 2 CPU cores;
+# tools/gapped_probe.py + NOTES.md round-3 table):
+#   host full chain (seed DFS + SA expand + ungapped + gapped, native C++):
+#     ~500k candidate pairs/s/core
+#   device fused expand+ungapped (warm): ~70k pairs/s/chip
+#   device gapped DP (warm):             ~1k surviving hits/s/chip
+#   surviving-hit density:               ~4% of candidate pairs
+# The host engine wins by ~10-100x at any wave size on a tunneled single
+# chip; the device chain only pays off when the mesh is large relative to
+# the host core count. Auto mode compares the two estimates; rates are
+# env-overridable for other platforms.
+HOST_PAIR_RATE = float(os.environ.get("PRIBLAST_HOST_PAIR_RATE", 500e3))
+DEV_PAIR_RATE = float(os.environ.get("PRIBLAST_DEV_PAIR_RATE", 70e3))
+DEV_HIT_RATE = float(os.environ.get("PRIBLAST_DEV_HIT_RATE", 1e3))
+HIT_DENSITY = 0.04
+
+
+def device_extend_wins(n_pairs: int, threads: int, n_dev: int) -> bool:
+    """Auto-mode estimate: device extension chain vs host chain for a wave
+    of `n_pairs` candidate pairs."""
+    host_t = n_pairs / (HOST_PAIR_RATE * max(threads, 1))
+    dev_t = (n_pairs / (DEV_PAIR_RATE * n_dev)
+             + n_pairs * HIT_DENSITY / (DEV_HIT_RATE * n_dev))
+    return dev_t < host_t
 
 
 def _wave_plan(order, lengths, max_nt: int = 4 << 20, max_q: int = 1024):
@@ -136,7 +155,8 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
                 int(((c["db_sp"] - c["q_sp"] + 1).astype(np.int64)
                      * (c["db_len"] - c["q_len"] + 1)).sum())
                 for _, c in cands)
-            use_device = n_pairs >= auto_pair_threshold()
+            n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+            use_device = device_extend_wins(n_pairs, threads, n_dev)
 
         if not use_device:
             with cf.ThreadPoolExecutor(threads) as ex:
