@@ -133,6 +133,11 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
             lines.extend(format_hits(p, res, chunk, names[idx], q_length))
         return lines
 
+    import sys
+    import time as _time
+
+    done_q = 0
+    t_start = _time.time()
     for wave in _wave_plan(order, lengths):
         with prof.stage("ris.accessibility"):
             accs = _accessibility_batched(engine, seqs, lengths, wave)
@@ -164,6 +169,11 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
                         for k, idx in enumerate(wave)}
                 for f in cf.as_completed(futs):
                     results[futs[f]] = f.result()
+            done_q += len(wave)
+            if os.environ.get("PRIBLAST_PROGRESS"):
+                el = _time.time() - t_start
+                print(f"[ris] {done_q} queries, {el:.0f}s "
+                      f"({done_q / el:.3f} q/s)", file=sys.stderr, flush=True)
             continue
 
         if dbpack is None:
