@@ -172,3 +172,30 @@ def test_device_extend_full_chain(staged):
                                    atol=3e-4, rtol=1e-5)
         checked += len(full["q_sp"])
     assert checked > 0
+
+
+def test_fused_stage_matches_staged_chain(staged):
+    """fused device pass (expand + ungapped + threshold in one program,
+    search/fused.py) == native stage-2 hits filtered by the interaction
+    threshold: integer fields and grouping exact, energies to f32
+    accumulation noise (the ungapped core keeps the reference's f32 step
+    arithmetic regardless of dtype, as in the staged path)."""
+    from priblast_tpu.search import fused, seed
+
+    chunks, p, queries, qpack, dbpack, _pres, posts = staged
+    cands = seed.seed_candidates(p, chunks, queries)
+    stream = fused.fused_stage(p, cands, qpack, dbpack, dtype="float64")
+    assert len(stream) > 0
+
+    thr = p.interaction_energy_threshold
+    for (qid, _cid, lo, hi), post in zip(stream.groups, posts):
+        keep = np.asarray(post["energy"]) <= thr
+        assert hi - lo == int(keep.sum())
+        for k in ("q_sp", "db_sp", "q_len", "db_len", "dbseq_id",
+                  "dbseq_start"):
+            assert np.array_equal(stream.soa[k][lo:hi],
+                                  np.asarray(post[k])[keep]), k
+        for k in ("acc_e", "hyb_e", "energy"):
+            np.testing.assert_allclose(stream.soa[k][lo:hi],
+                                       np.asarray(post[k])[keep],
+                                       atol=2e-4, rtol=1e-5)
