@@ -72,10 +72,12 @@ def main() -> None:
     rep = {"db_mnt_target": ns.db_mnt, "nq": ns.nq, "page": ns.page,
            "engine": ns.engine}
 
-    # --- workload (GENCODE-ish length stats)
+    # --- workload (GENCODE-ish length stats); db and query tags are
+    # independent so changing --nq reuses an already-built database
     dbfa, qfa = wd / "db.fa", wd / "q.fa"
-    tag = wd / f"made_{ns.db_mnt}_{ns.nq}"
-    if not tag.exists():
+    dtag = wd / f"made_db_{ns.db_mnt}"
+    qtag = wd / f"made_q_{ns.nq}"
+    if not dtag.exists():
         target_nt = int(ns.db_mnt * 1e6)
         # mRNA-like targets: median 2.5 kb, sigma 0.6, 200 nt .. 20 kb
         lens = []
@@ -89,18 +91,23 @@ def main() -> None:
                 tot += int(n)
         db_nt = write_fasta_fast(
             dbfa, [f"mRNA_{i}" for i in range(len(lens))], lens, rng)
-        # lncRNA-like queries: median 800 nt, sigma 0.7, 200 nt .. 10 kb
-        qlens = lognormal_lengths(rng, ns.nq, 800, 0.7, 200, 10000)
-        q_nt = write_fasta_fast(
-            qfa, [f"lncRNA_{i}" for i in range(ns.nq)], qlens, rng)
-        json.dump({"db_nt": db_nt, "db_seqs": len(lens),
-                   "q_nt": int(q_nt)}, open(tag, "w"))
-        for old in wd.glob("made_*"):
-            if old != tag:
+        json.dump({"db_nt": db_nt, "db_seqs": len(lens)}, open(dtag, "w"))
+        for old in wd.glob("made_db_*"):
+            if old != dtag:
                 old.unlink()
         for old in wd.glob("db_built*"):
             old.unlink()
-    meta = json.load(open(tag))
+    if not qtag.exists():
+        qrng = np.random.default_rng(20260822)
+        # lncRNA-like queries: median 800 nt, sigma 0.7, 200 nt .. 10 kb
+        qlens = lognormal_lengths(qrng, ns.nq, 800, 0.7, 200, 10000)
+        q_nt = write_fasta_fast(
+            qfa, [f"lncRNA_{i}" for i in range(ns.nq)], qlens, qrng)
+        json.dump({"q_nt": int(q_nt)}, open(qtag, "w"))
+        for old in wd.glob("made_q_*"):
+            if old != qtag:
+                old.unlink()
+    meta = {**json.load(open(dtag)), **json.load(open(qtag))}
     rep.update(meta)
     print(json.dumps({"workload": rep}), flush=True)
 
