@@ -1193,8 +1193,12 @@ def _default_use_pallas() -> bool:
     env = os.environ.get("PRIBLAST_USE_PALLAS", "")
     if env != "":
         return env not in ("0", "false")
-    # Off by default: since the gather-free grid rework the XLA scan path
-    # matches the fused kernels, with far shorter compiles.
+    # EXPERIMENTAL, off by default — decision measured on-chip (NOTES.md
+    # round 3): at the production (128, 1024) shape the XLA scan path runs
+    # 120k nt/s warm while the fused Pallas inside kernel fails to compile
+    # (Mosaic scoped-VMEM stack OOM, 16.69M > 16M); at smaller shapes it
+    # only ever tied the XLA path, with ~970 s compiles. The kernels stay
+    # for interpret-mode parity coverage and smaller-shape experiments.
     return False
 
 
