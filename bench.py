@@ -135,8 +135,12 @@ def build_reference() -> Path | None:
     if not src.exists():
         return None
     try:
+        # the reference's own release flags (reference Makefile:6) — the
+        # honest baseline; goldens are generated separately at -O2 where
+        # the fmath/expd paths stay deterministic SSE2
         subprocess.run(
-            ["g++", "-std=c++17", "-O2", "-fopenmp",
+            ["g++", "-std=c++17", "-O3", "-march=native", "-flto",
+             "-fopenmp",
              "-I", str(REPO / "tools" / "mpi_shim"),
              "-o", str(out)] + [str(p) for p in sorted(src.glob("*.cpp"))],
             check=True, capture_output=True, timeout=600)

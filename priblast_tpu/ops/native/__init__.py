@@ -21,8 +21,11 @@ _SOURCES = ["exact_engine.cc", "suffix_array.cc", "sa_is.cc", "search.cc"]
 _HEADERS = ["fastmath.hpp"]
 
 
+_FLAGS_TAG = b"O3-native-nocontract"  # bump when the build flags change
+
+
 def _source_hash() -> str:
-    h = hashlib.sha256()
+    h = hashlib.sha256(_FLAGS_TAG)
     for name in _SOURCES + _HEADERS:
         p = _DIR / name
         if p.exists():
@@ -38,8 +41,12 @@ def _build() -> Path:
     srcs = [str(_DIR / s) for s in _SOURCES if (_DIR / s).exists()]
     with tempfile.TemporaryDirectory() as td:
         tmp_out = Path(td) / out.name
+        # -march=native vectorizes the DP loops; -ffp-contract=off keeps
+        # the float arithmetic exactly IEEE (no FMA contraction), which
+        # byte parity with the reference's SSE2 fmath paths depends on
         cmd = [
-            "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-fopenmp",
+            "g++", "-std=c++17", "-O3", "-march=native",
+            "-ffp-contract=off", "-fPIC", "-shared", "-fopenmp",
             "-o", str(tmp_out), *srcs,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
