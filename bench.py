@@ -198,6 +198,17 @@ def main() -> None:
 
     warmed = bench.phase("db_warm", phase_budget("DB_WARM", 3000), db_warm)
 
+    # --- phase: join the reference baseline BEFORE the timed host-bound
+    # phases — on a 2-core host the concurrent reference run contends with
+    # our ris host stages and contaminates both measurements; db_warm
+    # (device claim + compiles) is the only phase it can overlap freely
+    def ref_join():
+        if ref_proc is None:
+            return
+        ref_proc.wait(timeout=max(1, phase_budget("REF", 900) - 5))
+
+    bench.phase("ref_join", phase_budget("REF", 900), ref_join)
+
     # --- phase: db timed
     def db_timed():
         t0 = time.time()
@@ -241,11 +252,8 @@ def main() -> None:
     if ris_ok:
         bench.phase("ris_timed", phase_budget("RIS_TIMED", 1200), ris_timed)
 
-    # --- phase: join the reference baseline and fill the ratios
-    def ref_join():
-        if ref_proc is None:
-            return
-        ref_proc.wait(timeout=max(1, phase_budget("REF", 900) - 5))
+    # --- phase: fill the reference ratios
+    def ref_ratios():
         if not ref_script.exists():
             return
         r = json.load(open(ref_script))
@@ -264,7 +272,7 @@ def main() -> None:
                     out["value"] / (out["ref_host_qps"] * CLUSTER_CORES
                                     / ncores), 3)
 
-    bench.phase("ref", phase_budget("REF", 900), ref_join)
+    bench.phase("ref", phase_budget("REF", 60), ref_ratios)
     if ref_proc is not None and ref_proc.poll() is None:
         ref_proc.kill()
 
