@@ -311,11 +311,16 @@ def mid_stage(stream: HitStream, queries, chunks, p,
 
 
 def gapped_stage(stream: HitStream, seed_bps: dict, qpack: QueryPack,
-                 dbpack: DbPack, chunks, queries, p, *, max_ext: int = 64,
+                 dbpack: DbPack, chunks, queries, p, *, max_ext: int = 32,
                  dtype: str = "float32"):
     """Device gapped extension + traceback over the whole stream; assembles
     the final per-hit base-pair arrays (seed + left + right tracebacks, in
     reference push order). Returns bp arrays dict; updates stream in place.
+
+    max_ext=32 is the measured sweet spot (tools/gapped_probe.py): 3.1x
+    faster than 64 per block (half the diagonals AND half the lane width),
+    with ~3.5% of hits outrunning the cap and falling back to the exact
+    host engine — which handles them at ~75k hits/s, so the tail is free.
     """
     from priblast_tpu.search.gapped import gapped_extend_flat_batch
 
@@ -442,7 +447,7 @@ def finish_stage(stream: HitStream, bps: dict, queries, chunks, p,
 
 
 def search_all(p, chunks, queries, qpack: QueryPack, dbpack: DbPack, *,
-               threads: int = 1, max_ext: int = 64, dtype: str = "float32",
+               threads: int = 1, max_ext: int = 32, dtype: str = "float32",
                cands=None):
     """Full staged pipeline. Returns (stream, results) where results is the
     per-group finished SoA list aligned with stream.groups. `cands`: host

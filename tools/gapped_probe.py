@@ -26,6 +26,7 @@ def main() -> None:
     nq = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     sizes = ([int(x) for x in sys.argv[2].split(",")]
              if len(sys.argv) > 2 else [4096, 8192, 16384])
+    max_ext = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     wd = REPO / "tools" / "_bench_round"
     p = RisParams(input=str(wd / "q.fa"), output="/dev/null",
                   db_name=str(wd / "db_exact"), engine="tpu")
@@ -85,12 +86,12 @@ def main() -> None:
                     sub, qpack.bufs, dbpack.bufs,
                     d=p.min_accessible_length,
                     dropout=p.drop_out_length_w_gap,
-                    min_helix=p.min_helix_length, max_ext=64,
+                    min_helix=p.min_helix_length, max_ext=max_ext,
                     dtype="float32", pad_to=B)
                 outs.append((g, ov))
             dt = time.perf_counter() - t0
             novf = sum(int(ov.sum()) for _, ov in outs)
-            print(f"B={B:6d} rep{rep} {dt:8.2f}s "
+            print(f"B={B:6d} me={max_ext} rep{rep} {dt:8.2f}s "
                   f"({n / dt:8.0f} hits/s, ovf={novf})", flush=True)
 
 
