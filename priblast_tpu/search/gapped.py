@@ -72,9 +72,13 @@ def _wob(t):
 
 
 def _sr(x, n: int, fill):
-    """Static right-shift along the last axis (shift predecessor lanes)."""
+    """Static right-shift along the last axis (shift predecessor lanes);
+    saturates to all-fill when the shift covers the whole width (possible
+    when max_ext < dropout + 1)."""
     if n == 0:
         return x
+    if n >= x.shape[-1]:
+        return jnp.full(x.shape, fill, x.dtype)
     pad = jnp.full(x.shape[:-1] + (n,), fill, x.dtype)
     return jnp.concatenate([pad, x[..., : x.shape[-1] - n]], axis=-1)
 

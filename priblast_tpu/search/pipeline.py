@@ -390,9 +390,14 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 
 def _overflow_fallback(stream: HitStream, bp: dict, overflow: np.ndarray,
                        chunks, queries, p) -> None:
-    """Rare: extension outran the device cap — host engine fallback from
-    the pre-extension state, patched into the stream and bp dict."""
+    """Extension outran the device cap (a few % of hits at the default
+    max_ext=32) — exact host-engine fallback from the pre-extension state,
+    patched into the stream and bp dict. Base-pair segments are rebuilt in
+    ONE split/replace/concat pass (not per-hit splicing), so the cost is
+    O(total bps), independent of the overflow count."""
     soa = stream.soa
+    # gathered replacements: hit index -> (bp_q, bp_db) arrays
+    repl: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for qid, cid, lo, hi in stream.groups:
         idx = lo + np.nonzero(overflow[lo:hi])[0]
         if len(idx) == 0:
@@ -404,26 +409,29 @@ def _overflow_fallback(stream: HitStream, bp: dict, overflow: np.ndarray,
             for k in _STREAM_KEYS:
                 soa[k][src_i] = ref[k][out_i]
             blo, bhi = ref["bp_off"][out_i], ref["bp_off"][out_i + 1]
-            # host fallback emits left+right bps contiguously; split is
-            # irrelevant downstream (only the concatenation order matters),
-            # so store them all as the "left" segment
-            bp["n0"] = bp["n0"].copy()
-            bp["n1"] = bp["n1"].copy()
-            _replace_segment(bp, "0", src_i, ref["bp_q"][blo:bhi],
-                             ref["bp_db"][blo:bhi])
-            _replace_segment(bp, "1", src_i, np.zeros(0, np.int32),
-                             np.zeros(0, np.int32))
-
-
-def _replace_segment(bp: dict, tag: str, hit: int, new_q, new_db) -> None:
-    counts = bp[f"n{tag}"]
-    lo = int(counts[:hit].sum())
-    hi = lo + int(counts[hit])
-    bp[f"q{tag}"] = np.concatenate([bp[f"q{tag}"][:lo], new_q,
-                                    bp[f"q{tag}"][hi:]])
-    bp[f"db{tag}"] = np.concatenate([bp[f"db{tag}"][:lo], new_db,
-                                     bp[f"db{tag}"][hi:]])
-    counts[hit] = len(new_q)
+            repl[int(src_i)] = (ref["bp_q"][blo:bhi], ref["bp_db"][blo:bhi])
+    if not repl:
+        return
+    # host fallback emits left+right bps contiguously; the split is
+    # irrelevant downstream (only the concatenation order matters), so the
+    # replacement lands in the "left" segment and the right one empties
+    seg_q = np.split(bp["q0"], np.cumsum(bp["n0"])[:-1])
+    seg_db = np.split(bp["db0"], np.cumsum(bp["n0"])[:-1])
+    seg_q1 = np.split(bp["q1"], np.cumsum(bp["n1"])[:-1])
+    seg_db1 = np.split(bp["db1"], np.cumsum(bp["n1"])[:-1])
+    empty = np.zeros(0, np.int32)
+    n0 = bp["n0"].copy()
+    n1 = bp["n1"].copy()
+    for hit, (q, db) in repl.items():
+        seg_q[hit], seg_db[hit] = q, db
+        seg_q1[hit], seg_db1[hit] = empty, empty
+        n0[hit] = len(q)
+        n1[hit] = 0
+    bp["n0"], bp["n1"] = n0, n1
+    bp["q0"] = np.concatenate(seg_q) if seg_q else bp["q0"]
+    bp["db0"] = np.concatenate(seg_db) if seg_db else bp["db0"]
+    bp["q1"] = np.concatenate(seg_q1) if seg_q1 else bp["q1"]
+    bp["db1"] = np.concatenate(seg_db1) if seg_db1 else bp["db1"]
 
 
 def finish_stage(stream: HitStream, bps: dict, queries, chunks, p,

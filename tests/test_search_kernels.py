@@ -199,3 +199,23 @@ def test_fused_stage_matches_staged_chain(staged):
             np.testing.assert_allclose(stream.soa[k][lo:hi],
                                        np.asarray(post[k])[keep],
                                        atol=2e-4, rtol=1e-5)
+
+
+def test_device_pipeline_overflow_fallback(staged):
+    """A deliberately tiny device cap (max_ext=8) forces many hits through
+    the exact-host overflow fallback; results must STILL equal the full
+    native chain (extents, base pairs, energies)."""
+    chunks, p, queries, qpack, dbpack, _pres, _posts = staged
+    stream, finished = pl.search_all(p, chunks, queries, qpack, dbpack,
+                                     dtype="float64", max_ext=8)
+    checked = 0
+    for (qid, cid, _lo, _hi), out in zip(stream.groups, finished):
+        q_enc, q_sa, q_acc, q_cond = queries[qid]
+        full = native.search_chunk(q_enc, q_sa, q_acc, q_cond, chunks[cid],
+                                   p)
+        for k in ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start",
+                  "dbseq_id", "bp_q", "bp_db", "bp_off"):
+            assert np.array_equal(out[k], full[k]), k
+        np.testing.assert_allclose(out["energy"], full["energy"], atol=3e-4)
+        checked += len(full["q_sp"])
+    assert checked > 0
