@@ -5,27 +5,41 @@ validated native engine, ops/native/search.cc gapped_extend_one). The
 reference's pruned stem-candidate list (CheckStemCandidate,
 gapped_extension.cpp:213-217) only admits predecessors whose interior loop
 size u1+u2 = (i-k-1)+(j-l-1) is <= dropout, so the DP is a *banded*
-anti-diagonal sweep: each diagonal L evaluates all cells (i, L-i) as a
-vectorized min over the (dropout+1)(dropout+2)/2 static (u1,u2) predecessor
-offsets. Offsets are enumerated in the reference's stems-list order
-(predecessor diagonal ascending, then k ascending) so first-occurrence
-argmin reproduces the reference's strict-< scan tie-breaking exactly.
+anti-diagonal sweep: each diagonal L evaluates all cells (i, L-i) as a min
+over the (dropout+1)(dropout+2)/2 static (u1,u2) predecessor offsets.
+
+TPU structure (round 4 — measured on chip, NOTES.md):
+- The combo min runs as an UNROLLED RUNNING-MIN SCAN in the reference's
+  stems-list order (predecessor diagonal ascending, then k ascending):
+  strict-< compare/select per combo reproduces the reference's stems-scan
+  tie-breaking (first occurrence wins) while every intermediate stays a
+  single [W, B] tile.
+- ZERO table gathers inside the loop. Every energy-table term is a pure
+  function of a few characters around the cell, so all of them are
+  precomputed ONCE per call as "planes" over (diagonal, lane): composite
+  numpy tables over combined character indices, contracted with one-hot
+  character matrices on the MXU (exact: one nonzero per row), then skewed
+  from (x, y) to (diagonal, lane) layout by the pad-reshape trick — no
+  gather anywhere. In-loop table gathers ran at ~110 M elems/s on a v5e
+  (~1 ms per [32, 4096] lookup, 15+ lookups/diagonal = the round-3 wall).
+- The DP state the scan reads is a ROLLING WINDOW carried through the
+  while loop (dropout+2 diagonal rows), not slices of the full [DD, W, B]
+  buffers; only the predecessor-link rows (for traceback) are written to a
+  full buffer.
+- All per-cell tensors are [W, B] with the HIT BATCH minor, so vector
+  lanes see B (thousands) instead of W (= max_ext, 24-64).
 
 Fixed-bound formulation: extension is capped at `max_ext` diagonals; hits
 still active at the cap are flagged `overflow` and the caller re-runs them
-on the host engine (rare — the reference's own dropout rule terminates when
-no minimum improves for `dropout` diagonals).
+from their pre-extension state at a deeper cap (device) or on the host
+engine (rare — the reference's own dropout rule terminates when no minimum
+improves for `dropout` diagonals).
 
 Hits are batched ACROSS queries and db chunks: per-hit base offsets locate
 each hit's query/chunk region inside flattened device buffers (see
 search/ungapped.py for the packing contract). Traceback runs on device as a
 fixed-length scan over the predecessor-link matrix, so only the (short)
-base-pair offset lists come back to the host — not the [B, diag, lane] link
-matrix itself.
-
-Buffers are diagonal-indexed with a (dropout+2)-row front pad, so the
-predecessor window of diagonal L is a single dynamic slice starting at row
-L, and in-window row `dropout - s` is static per (u1,u2) combo.
+base-pair offset lists come back to the host.
 """
 
 from __future__ import annotations
@@ -52,8 +66,8 @@ def _tables_np():
     r = thermo.RAW
     f = lambda x: np.asarray(x, np.float64).reshape(-1)
     return dict(
-        bp=r.BP_pair.reshape(-1).astype(np.int32),
-        rtype=r.rtype.astype(np.int32),
+        bp=r.BP_pair.reshape(-1).astype(np.int64),
+        rtype=r.rtype.astype(np.int64),
         stack=f(r.stack37),
         bulge=f(r.bulge37),
         i11=f(r.int11_37),
@@ -66,61 +80,141 @@ def _tables_np():
     )
 
 
-def _wob(t):
+def _np_wob(t):
     # wobble pair types (reference: gapped_extension.cpp:340)
     return (t == 3) | (t == 4)
 
 
+def _bulge_const(s: int) -> float:
+    r = _tables_np()
+    return float(r["bulge"][s] if s <= 30 else
+                 r["bulge"][30] + r["lxc"] * np.log(s / 30.0))
+
+
+@functools.lru_cache(maxsize=8)
+def _plane_tables(flag: int):
+    """Composite numpy lookup tables over combined-character indices for
+    the per-cell energy planes. Conventions: q-side combined index is
+    (qm[x]*5 + aux1)(*5 + aux2); d-side likewise with dm[y] leading. All
+    value tables are raw Turner units except STK*/V* which are /100
+    (matching the round-3 kernel's arithmetic: raw integer sums are exact
+    in f32, the single /100 happens on the summed value). Table
+    compositions mirror ops/native/search.cc loop37_gapped and
+    gapped_extension.cpp:426-473.
+    """
+    r = _tables_np()
+    bp = r["bp"].reshape(5, 5)
+    rt = r["rtype"]
+    t0 = rt[bp] if flag == 1 else bp      # flag-adjusted cell pair type
+    st = rt[t0]                           # stored cell type (= rt[type1])
+    mism = r["mismI"]
+    stack = r["stack"]
+    i11, i21, i22 = r["i11"], r["i21"], r["i22"]
+    b1 = float(r["bulge"][1])
+
+    # axis order: C1=qm[x], QA=q-aux1, QE=q-aux2, C2=dm[y], DA=d-aux1,
+    # DG=d-aux2 (np.ix_ broadcasting)
+    A5 = list(range(5))
+    C1, QA, C2, DA = np.ix_(A5, A5, A5, A5)
+    T = t0[C1, C2]
+    S_ = st[QA, DA]                        # st at (aux1_q, aux1_d) chars
+
+    def q2d2(arr):
+        return arr.reshape(25, 25)
+
+    out = {}
+    # mism_shared: aux = (qm[x-1], dm[y-1])
+    out["MS"] = q2d2(mism[(T * 5 + QA) * 5 + DA] if flag == 0 else
+                     mism[(T * 5 + DA) * 5 + QA])
+    # vm (predecessor-cell mismatch, stored per cell): aux = (qm[x+1],
+    # dm[y+1]); reference mism_row with st_row = rt[type1]
+    ST = st[C1, C2]
+    out["VM"] = q2d2(mism[(ST * 5 + DA) * 5 + QA] if flag == 0 else
+                     mism[(ST * 5 + QA) * 5 + DA])
+    # helix x'=1 badness: aux = (qm[x+1], dm[y-1]); includes the wobble
+    # cross-term with t0 (reference: gapped_extension.cpp:342-364)
+    T1 = t0[QA, DA]
+    out["BAD1"] = q2d2(((T1 == 0) |
+                        (_np_wob(T) & _np_wob(T1))).astype(np.float64))
+    # helix x'>=2 badness: single chars (qm[x+x'], dm[y-x'])
+    out["BADX"] = (t0 == 0).astype(np.float64)
+    # stack-class values, /100 (aux q = qm[x-u1-1+...], aux d = ...):
+    #   STK00: pred (x-1, y-1);  STK10: pred (x-2, y-1);  STK01: (x-1, y-2)
+    def stk(pt):
+        return stack[T * 7 + pt] if flag == 0 else stack[pt * 7 + T]
+
+    out["STK00"] = q2d2(stk(S_) / 100.0)
+    out["STK10"] = q2d2((b1 + stk(S_)) / 100.0)   # aux: (qm[x-2], dm[y-1])
+    out["STK01"] = q2d2((b1 + stk(S_)) / 100.0)   # aux: (qm[x-1], dm[y-2])
+    # small-internal specials, /100. V11 carries tb in its char axes;
+    # V12/V21/V22 are per-tb slates (tb = predecessor stored type 0..6),
+    # combined in xy space against the TB planes.
+    C1, QA, QE, C2, DA, DG = np.ix_(A5, A5, A5, A5, A5, A5)
+    T = t0[C1, C2]
+    TB = st[QE, DG]
+
+    def q3d3(arr):
+        return arr.reshape(125, 125)
+
+    if flag == 0:
+        v11 = i11[((T * 8 + TB) * 5 + QA) * 5 + DA]
+    else:
+        v11 = i11[((TB * 8 + T) * 5 + QA) * 5 + DA]
+    out["V11"] = q3d3(v11 / 100.0)
+
+    C1, QA, C2, DA, DG = np.ix_(A5, A5, A5, A5, A5)
+    T = t0[C1, C2]
+    v12, v21, v22 = [], [], []
+    for tb in range(7):
+        if flag == 0:
+            v12.append(i21[(((T * 8 + tb) * 5 + QA) * 5 + DG) * 5 + DA])
+        else:
+            v12.append(i21[(((tb * 8 + T) * 5 + QA) * 5 + DA) * 5 + DG])
+        v12[-1] = v12[-1].reshape(25, 125)        # q=(c1,qa) d=(c2,da,dg)
+    C1, QA, QE, C2, DA = np.ix_(A5, A5, A5, A5, A5)
+    T = t0[C1, C2]
+    for tb in range(7):
+        if flag == 0:
+            z = i21[(((tb * 8 + T) * 5 + DA) * 5 + QA) * 5 + QE]
+        else:
+            z = i21[(((T * 8 + tb) * 5 + DA) * 5 + QE) * 5 + QA]
+        v21.append(z.reshape(125, 25))            # q=(c1,qa,qe) d=(c2,da)
+    C1, QA, QE, C2, DA, DG = np.ix_(A5, A5, A5, A5, A5, A5)
+    T = t0[C1, C2]
+    for tb in range(7):
+        if flag == 0:
+            z = i22[((((T * 8 + tb) * 5 + QA) * 5 + QE) * 5 + DG) * 5 + DA]
+        else:
+            z = i22[((((tb * 8 + T) * 5 + QE) * 5 + QA) * 5 + DA) * 5 + DG]
+        v22.append(z.reshape(125, 125))
+    out["V12"] = np.stack(v12) / 100.0            # [7, 25, 125]
+    out["V21"] = np.stack(v21) / 100.0            # [7, 125, 25]
+    out["V22"] = np.stack(v22) / 100.0            # [7, 125, 125]
+    # bit/bool tables of the flag-adjusted type
+    out["NZ0"] = (t0 != 0).astype(np.float64)
+    out["W0"] = _np_wob(t0).astype(np.float64)
+    out["AU0"] = (t0 > 2).astype(np.float64)
+    out["STT"] = st.astype(np.float64)            # stored type (0..6)
+    return out
+
+
 def _sr(x, n: int, fill):
-    """Static right-shift along the last axis (shift predecessor lanes);
-    saturates to all-fill when the shift covers the whole width (possible
-    when max_ext < dropout + 1)."""
+    """Static shift along axis 0 (lane i reads the value lane i - n held);
+    saturates to all-fill when the shift covers the whole width."""
     if n == 0:
         return x
-    if n >= x.shape[-1]:
+    if n >= x.shape[0]:
         return jnp.full(x.shape, fill, x.dtype)
-    pad = jnp.full(x.shape[:-1] + (n,), fill, x.dtype)
-    return jnp.concatenate([pad, x[..., : x.shape[-1] - n]], axis=-1)
-
-
-def _loop_e(t, dtype, u1: int, u2: int, ta, tb, a, b, c, dch):
-    """Gapped loop energy for a static (u1, u2) offset (reference:
-    gapped_extension.cpp:426-473; native loop37_gapped). Only the branch
-    selected by (u1, u2) is traced."""
-    if u1 == 0 and u2 == 0:
-        z = t["stack"][ta * 7 + tb]
-    elif u1 == 0 or u2 == 0:
-        u = u1 + u2
-        if u <= 30:
-            zb = t["bulge"][u]
-        else:
-            zb = t["bulge"][30] + t["lxc"] * np.log(u / 30.0)
-        if u == 1:
-            z = zb + t["stack"][ta * 7 + tb]
-        else:
-            z = (zb + jnp.where(ta > 2, t["term_au"], 0.0)
-                 + jnp.where(tb > 2, t["term_au"], 0.0))
-    elif u1 == 1 and u2 == 1:
-        z = t["i11"][((ta * 8 + tb) * 5 + a) * 5 + b]
-    elif u1 == 1 and u2 == 2:
-        z = t["i21"][(((ta * 8 + tb) * 5 + a) * 5 + dch) * 5 + b]
-    elif u1 == 2 and u2 == 1:
-        z = t["i21"][(((tb * 8 + ta) * 5 + dch) * 5 + a) * 5 + c]
-    elif u1 == 2 and u2 == 2:
-        z = t["i22"][((((ta * 8 + tb) * 5 + a) * 5 + c) * 5 + dch) * 5 + b]
-    else:
-        z = (t["intloop"][min(u1 + u2, 30)]
-             + t["mismI"][(ta * 5 + a) * 5 + b]
-             + t["mismI"][(tb * 5 + dch) * 5 + c])
-    return (z / 100.0).astype(dtype)
+    pad = jnp.full((n,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[: x.shape[0] - n]], axis=0)
 
 
 def _gather_chars(seq, start, sign: int, xw: int):
-    """raw[b, x] = seq[start_b + sign*x], 0 outside bounds; and the GetChar
+    """raw[x, b] = seq[start_b + sign*x], 0 outside bounds; and the GetChar
     mapping (reference: gapped_extension.cpp:401-407)."""
     n = seq.shape[0]
     x = jnp.arange(xw, dtype=jnp.int32)
-    pos = start[:, None] + sign * x[None, :]
+    pos = start[None, :] + sign * x[:, None]
     oob = (pos < 0) | (pos >= n)
     raw = jnp.where(oob, 0, seq[jnp.clip(pos, 0, n - 1)]).astype(jnp.int32)
     mapped = jnp.where(raw < 2, 0, jnp.where(raw <= 5, raw - 1, raw - 5))
@@ -128,9 +222,9 @@ def _gather_chars(seq, start, sign: int, xw: int):
 
 
 def _take(arr2d, idx):
-    """arr2d[b, idx[b]] with clipping."""
+    """arr2d[idx[b], b] with clipping (arr2d is [X, B], idx is [B])."""
     return jnp.take_along_axis(
-        arr2d, jnp.clip(idx, 0, arr2d.shape[1] - 1)[:, None], axis=1)[:, 0]
+        arr2d, jnp.clip(idx, 0, arr2d.shape[0] - 1)[None, :], axis=0)[0]
 
 
 @functools.partial(jax.jit,
@@ -158,29 +252,30 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
     lists (tb_i/tb_j, in reference push order, 0-terminated), and an
     `overflow` flag for hits that were still active at max_ext.
     """
+    assert max_ext <= 120, "packed predecessor coords need 14 bits"
     dt = jnp.float64 if dtype == "float64" else jnp.float32
-    t = {k: (jnp.asarray(v, dt) if np.asarray(v).dtype == np.float64
-             else jnp.asarray(v))
-         for k, v in _tables_np().items()}
-    bp, rt = t["bp"], t["rtype"]
+    r_np = _tables_np()
+    pt_tab = _plane_tables(flag)
     B = q_start.shape[0]
-    W = max_ext               # lane i of a diagonal row
-    OFF = dropout + 2         # diag D lives at buffer row D + OFF
+    W = max_ext               # row i of a diagonal (lane-i axis, axis 0)
+    OFF = dropout + 2         # diag D lives at buffer/plane row D + OFF
     DD = max_ext + OFF + 1
-    XW = max_ext + min_helix  # char/prefix arrays cover offsets 0..XW-1
+    XW = max_ext + max(min_helix, 2)  # char arrays cover offsets 0..XW-1
+    Y = W + 1                 # db-offset range of reachable cells
     INF = jnp.asarray(np.inf, dt)
     sign = -1 if flag == 0 else 1
+    TAU = jnp.asarray(float(r_np["term_au"]), dt)
+    hprec = jax.lax.Precision.HIGHEST
 
-    # --- per-hit precomputation (offset-indexed views of both sequences)
+    # --- per-hit character windows ([X, B]: hit batch minor)
     q_raw, qm = _gather_chars(q_enc, qb + q_start, sign, XW)
     db_raw, dm = _gather_chars(db_seq, dbb + db_start, sign, XW)
 
-    # boundary offsets (reference: gapped_extension.cpp:111-134); the first
-    # blocked offset >= 1 bounds the extension at that offset - 1
+    # boundary offsets (reference: gapped_extension.cpp:111-134)
     def max_ext_of(raw):
-        blocked = raw[:, 1:] < 2
-        first = jnp.argmax(blocked, axis=1).astype(jnp.int32) + 1
-        return jnp.where(jnp.any(blocked, axis=1), first - 1, BIG)
+        blocked = raw[1:] < 2
+        first = jnp.argmax(blocked, axis=0).astype(jnp.int32) + 1
+        return jnp.where(jnp.any(blocked, axis=0), first - 1, BIG)
 
     maxq = max_ext_of(q_raw)
     maxd = max_ext_of(db_raw)
@@ -198,258 +293,307 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         return arr[jnp.clip(idx, 0, size - 1)]
 
     def inc3(a_, b_, c_):
-        # a - b + c: the reference evaluates the length-1 entry fully in
-        # float32 and widens; later entries chain in double
-        # (gapped_extension.cpp:156-212 and the native mirror's comment)
         full = a_.astype(dt) - b_.astype(dt) + c_.astype(dt)
         f32 = (a_ - b_ + c_).astype(dt)
-        return full.at[:, 1].set(f32[:, 1])
+        return full.at[1].set(f32[1])
 
     if flag == 0:
-        posq = (qab + q_start)[:, None] - x1[None, :]
+        posq = (qab + q_start)[None, :] - x1[:, None]
         incq = inc3(g1(q_acc, posq, nq), g1(q_acc, posq + 1, nq),
                     g1(q_cond, posq + d, nq))
-        incdb = g1(db_cond, coff[:, None] + id_anchor[:, None] + x1[None, :],
+        incdb = g1(db_cond, (coff + id_anchor)[None, :] + x1[:, None],
                    ndc).astype(dt)
     else:
-        incq = g1(q_cond, (qab + q_start)[:, None] + x1[None, :],
+        incq = g1(q_cond, (qab + q_start)[None, :] + x1[:, None],
                   nq).astype(dt)
-        posd = aoff[:, None] + id_anchor[:, None] - x1[None, :]
-        posc = coff[:, None] + id_anchor[:, None] - x1[None, :]
+        posd = (aoff + id_anchor)[None, :] - x1[:, None]
+        posc = (coff + id_anchor)[None, :] - x1[:, None]
         incdb = inc3(g1(db_acc, posd, nda), g1(db_acc, posd + 1, nda),
                      g1(db_cond, posc + d, ndc))
-    zero_first = jnp.zeros((B, 1), dt)
-    extq = jnp.concatenate([zero_first, jnp.cumsum(incq[:, 1:], axis=1)], 1)
-    extdb = jnp.concatenate([zero_first, jnp.cumsum(incdb[:, 1:], axis=1)], 1)
+    zero_first = jnp.zeros((1, B), dt)
+    extq = jnp.concatenate([zero_first, jnp.cumsum(incq[1:], axis=0)], 0)
+    extdb = jnp.concatenate([zero_first, jnp.cumsum(incdb[1:], axis=0)], 0)
 
-    # reversed+padded views for db-side per-diagonal windows: row slices of
-    # rev(arr) starting at XW-1-L+u give vector arr[L - i - u] over lanes i
-    pad_r = dropout + min_helix + W + 2
-
-    def revpad(arr, fill):
-        return jnp.concatenate(
-            [arr[:, ::-1],
-             jnp.full((B, pad_r), fill, arr.dtype)], axis=1)
-
-    dmr = revpad(dm, 0)
-    extdbr = revpad(extdb, INF)
-    # one-left-padded view for the +1-offset char of the row being written
-    # (dm[L - k + 1] needs rev index rev0 - 1, which is -1 at L = XW - 1)
-    dmr1 = jnp.concatenate([jnp.zeros((B, 1), dmr.dtype), dmr], axis=1)
+    # reversed+padded view for the per-diagonal extdb row: row slices of
+    # rev(extdb) starting at XW-1-L give vector extdb[L - i] over rows i
+    pad_r = dropout + max(min_helix, 2) + W + 2
+    extdbr = jnp.concatenate(
+        [extdb[::-1], jnp.full((pad_r, B), INF, dt)], axis=0)
 
     def dslice(arr, start, width=W):
         start = jnp.asarray(start, jnp.int32)
-        return lax.dynamic_slice(arr, (jnp.asarray(0, jnp.int32), start),
-                                 (B, width))
+        return lax.dynamic_slice(arr, (start, jnp.asarray(0, jnp.int32)),
+                                 (width, B))
 
-    # static cell-side char vectors (indexed by lane i)
-    qm_i = qm[:, :W]
-    qm_im1 = _sr(qm_i, 1, 0)
-    qm_hx = [qm[:, x:x + W] for x in range(1, min_helix)]
-    extq_i = extq[:, :W]
-    i_lane = jnp.arange(W, dtype=jnp.int32)
+    extq_i = extq[:W]
+    i_lane = jnp.arange(W, dtype=jnp.int32)[:, None]  # [W, 1]
 
-    # origin cell (reference: gapped_extension.cpp:116-127): diag 0, lane 0
+    # --- plane construction: every table term as a sheared (diag-major)
+    # plane [DD, W, B], built by one-hot MXU contraction in (x, y) space
+    # plus the pad-reshape skew — no gathers.
+    def shiftq(k, up=False):
+        # qm[x + k] (up) or qm[x - k] (down), over x in [0, W)
+        return qm[k:k + W] if up else _sr(qm[:W], k, 0)
+
+    dmY = dm[:Y]
+
+    def shiftd(k, up=False):
+        return dm[k:k + Y] if up else _sr(dmY, k, 0)
+
+    def onehot(idx, K):
+        return (idx[..., None] ==
+                jnp.arange(K, dtype=jnp.int32)).astype(dt)
+
+    def pairq(aux):
+        return qm[:W] * 5 + aux
+
+    def paird(aux):
+        return dmY * 5 + aux
+
+    def xy_plane(M, qidx, didx):
+        """P[x, y, b] = M[qidx[x, b], didx[y, b]] via two exact one-hot
+        contractions (one nonzero per output)."""
+        Kq, Kd = M.shape
+        Nq = jnp.einsum("xbp,pq->xbq", onehot(qidx, Kq),
+                        jnp.asarray(M, dt), precision=hprec)
+        return jnp.einsum("xbq,ybq->xyb", Nq, onehot(didx, Kd),
+                          precision=hprec)
+
+    def shear(P, fill):
+        """[W, Y, B] (x, y) -> [DD, W, B] diag-major (diag D at row D+OFF);
+        S[D + OFF, i] = P[i, D - i] (garbage where D < i, which is outside
+        the valid anti-diagonal cells)."""
+        Yp = W + 2
+        if Yp > P.shape[1]:
+            P = jnp.concatenate(
+                [P, jnp.full((W, Yp - P.shape[1], B), fill, P.dtype)], 1)
+        flat = P.reshape(W * Yp, B)
+        Bm = flat[: W * (Yp - 1)].reshape(W, Yp - 1, B)
+        S = Bm[:, : W + 1].transpose(1, 0, 2)
+        return jnp.concatenate(
+            [jnp.full((OFF, W, B), fill, P.dtype), S], 0)
+
+    qx, qm1, qm2 = qm[:W], shiftq(1), shiftq(2)
+    qp1 = shiftq(1, up=True)
+    dym1, dym2, dym3 = shiftd(1), shiftd(2), shiftd(3)
+    dyp1 = shiftd(1, up=True)
+
+    P = {}
+    P["MS"] = shear(xy_plane(pt_tab["MS"], pairq(qm1), paird(dym1)), 0.0)
+    P["VM"] = shear(xy_plane(pt_tab["VM"], pairq(qp1), paird(dyp1)), 0.0)
+    P["STK00"] = shear(xy_plane(pt_tab["STK00"], pairq(qm1), paird(dym1)),
+                       0.0)
+    P["STK10"] = shear(xy_plane(pt_tab["STK10"], pairq(qm2), paird(dym1)),
+                       0.0)
+    P["STK01"] = shear(xy_plane(pt_tab["STK01"], pairq(qm1), paird(dym2)),
+                       0.0)
+    q3 = pairq(qm1) * 5 + qm2
+    d3 = paird(dym1) * 5 + dym2
+    P["V11"] = shear(xy_plane(pt_tab["V11"], q3, d3), 0.0)
+    # V12/V21/V22: per-tb xy planes combined against the predecessor
+    # stored-type plane (char-derived; garbage preds carry INF energy)
+    stt = jnp.asarray(pt_tab["STT"], dt)
+
+    def tb_plane(qo: int, do: int):
+        # stored type at (x - qo, y - do) as int [W, Y, B]
+        v = xy_plane(stt.reshape(5, 5), shiftq(qo), shiftd(do))
+        return v.astype(jnp.int32)
+
+    def tb_combine(tabs, qidx, didx, tbp):
+        acc = None
+        for tb in range(7):
+            v = xy_plane(tabs[tb], qidx, didx)
+            acc = v if acc is None else jnp.where(tbp == tb, v, acc)
+        return acc
+
+    P["V12"] = shear(tb_combine(pt_tab["V12"], pairq(qm1), d3,
+                                tb_plane(2, 3)), 0.0)
+    P["V21"] = shear(tb_combine(pt_tab["V21"], q3, paird(dym1),
+                                tb_plane(3, 2)), 0.0)
+    P["V22"] = shear(tb_combine(pt_tab["V22"], q3, d3,
+                                tb_plane(3, 3)), 0.0)
+    # type-bit planes (flag-adjusted cell type t0): nonzero, wobble,
+    # terminal-AU, helix badness, packed pred-type bits
+    nz0_xy = xy_plane(pt_tab["NZ0"], qx, dmY)
+    w0_xy = xy_plane(pt_tab["W0"], qx, dmY)
+    # helix lookahead pairs (qm[x+x'], dm[y+x']): both strands advance in
+    # the extension direction (reference dslice dm[L - i + x], i.e. y + x)
+    if min_helix >= 2:
+        bad_xy = xy_plane(pt_tab["BAD1"], pairq(qp1), paird(dyp1))
+    else:
+        bad_xy = jnp.zeros((W, Y, B), dt)
+    for x2 in range(2, min_helix):
+        bad_xy = jnp.maximum(
+            bad_xy, xy_plane(pt_tab["BADX"], shiftq(x2, up=True),
+                             shiftd(x2, up=True)))
+    P["NZ0"] = shear(nz0_xy > 0.5, False)
+    P["W0"] = shear(w0_xy > 0.5, False)
+    P["AU0"] = shear(xy_plane(pt_tab["AU0"], qx, dmY) > 0.5, False)
+    P["BAD"] = shear(bad_xy > 0.5, False)
+    # candidate payload bits: pred stored type == 0 -> bit 14, wobble ->
+    # bit 15 (wob(rt[t]) == wob(t) and rt[t] == 0 <=> t == 0)
+    P["ZW"] = shear(((nz0_xy < 0.5).astype(jnp.int32) * 16384
+                     + (w0_xy > 0.5).astype(jnp.int32) * 32768), 0)
+
+    # lane-pad the plane/window arrays the combo scan reads SHIFTED, so a
+    # shift by sh becomes a STATIC SLICE [PAD-sh : PAD-sh+W] (a fusable
+    # view) instead of a pad+concat that materializes an intermediate per
+    # combo — the concat form ran each combo at HBM speed (NOTES.md r4)
+    PAD = dropout + 2
+    PW = W + PAD
+
+    def lanepad(x, fill):
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-2] + (PAD,) + x.shape[-1:], fill, x.dtype),
+             x], axis=-2)
+
+    P["VM"] = lanepad(P["VM"], jnp.asarray(0, dt))
+    P["ZW"] = lanepad(P["ZW"], 0)
+    P["AU0"] = lanepad(P["AU0"], False)
+
+    def prow(name, L):
+        return lax.dynamic_slice(
+            P[name], (L + OFF, jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32)), (1, W, B))[0]
+
+    def pwin(name, L, w=None):
+        return lax.dynamic_slice(
+            P[name], (L, jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32)),
+            (dropout + 2, w or W, B))
+
+    # --- origin cell (reference: gapped_extension.cpp:116-127)
+    bp_j = jnp.asarray(r_np["bp"].astype(np.int32))
+    rt_j = jnp.asarray(r_np["rtype"].astype(np.int32))
     oq = _take(qm, jnp.zeros(B, jnp.int32))
     od = _take(dm, jnp.zeros(B, jnp.int32))
-    otype = bp[oq * 5 + od]
+    otype = bp_j[oq * 5 + od]
     if flag == 0:
-        otype = rt[otype]
-    origin_row = jnp.zeros((B, W), jnp.int32).at[:, 0].set(otype)
-    o_adm = jnp.zeros((B, W), bool).at[:, 0].set(valid)
+        otype = rt_j[otype]
+    origin_hyb = jnp.full((PW, B), INF, dt).at[PAD].set(
+        jnp.where(valid, energy0.astype(dt), INF))
+    o_adm = jnp.zeros((W, B), bool).at[0].set(valid)
 
-    # per-cell mismatch-table value, precomputed when a diagonal row is
-    # written and stored alongside the DP state: the interior-loop mismatch
-    # term mismI[pred_type, ·, ·] of a predecessor cell (diag D, lane k)
-    # depends only on that cell (chars qm[k+1], dm[D-k+1]), so computing it
-    # once per row replaces a [B, C, W] irregular-index gather per step
-    # with one [B, W] gather (reference term: gapped_extension.cpp:426-473
-    # internal-loop mismatch factors)
-    qp1 = qm[:, 1:W + 1]
+    # rolling windows at L = 1: rows = diags -1-dropout .. 0 (the hyb
+    # window is lane-padded with INF; the admission window is not shifted)
+    win_h0 = jnp.concatenate(
+        [jnp.full((dropout + 1, PW, B), INF, dt), origin_hyb[None]], 0)
+    win_a0 = jnp.concatenate(
+        [jnp.zeros((dropout + 1, W, B), bool), o_adm[None]], 0)
+    # mt bits (type of the cell's recorded predecessor): diag -1 row = all
+    # type 0; diag 0 row = origin type at lane 0
+    mtz_m1 = jnp.ones((W, B), bool)
+    mtw_m1 = jnp.zeros((W, B), bool)
+    mtz_0 = jnp.ones((W, B), bool).at[0].set(otype == 0)
+    mtw_0 = jnp.zeros((W, B), bool).at[0].set((otype == 3) | (otype == 4))
 
-    def mism_row(st_row, dmp1):
-        if flag == 0:
-            return t["mismI"][(st_row * 5 + dmp1) * 5 + qp1]
-        return t["mismI"][(st_row * 5 + qp1) * 5 + dmp1]
-
-    v_origin = mism_row(origin_row, dslice(dmr1, XW - 1))
-
-    hyb_buf = jnp.full((B, DD, W), INF, dt).at[:, OFF, 0].set(
-        energy0.astype(dt))
-    st_buf = jnp.zeros((B, DD, W), jnp.int32).at[:, OFF, :].set(origin_row)
-    mt_buf = jnp.zeros((B, DD, W), jnp.int32).at[:, OFF, :].set(origin_row)
-    adm_buf = jnp.zeros((B, DD, W), bool).at[:, OFF, :].set(o_adm)
-    pred_buf = jnp.full((B, DD, W), -1, jnp.int32)
-    vm_buf = jnp.zeros((B, DD, W), dt).at[:, OFF, :].set(v_origin)
+    pred_buf = jnp.full((DD, W, B), -1, jnp.int32)
 
     # (u1, u2) predecessor offsets in the reference's stems-list order
-    # (pred diagonal ascending = s descending, then k ascending = u1
-    # descending); first-occurrence argmin over this axis reproduces the
-    # reference's strict-< stems scan tie-breaking.
     combos = [(s, u1) for s in range(dropout, -1, -1)
               for u1 in range(s, -1, -1)]
-    C = len(combos)
-    u1_np = np.array([u1 for _, u1 in combos], np.int32)
-    u2_np = np.array([s - u1 for s, u1 in combos], np.int32)
-    s_np = u1_np + u2_np
-
-    # combo classes and per-combo constants (raw table units). Combos whose
-    # energy is not "intloop + shared mismatch + predecessor mismatch" are
-    # patched individually: the 4 small-internal specials, the 2 size-1
-    # bulges and the stack combo (all with per-combo [B, W] table lookups).
-    r_np = _tables_np()
-    is_bulge = (u1_np == 0) ^ (u2_np == 0)
-    is_bN = is_bulge & (s_np >= 2)
-    spec_idx = [ci for ci, (s, u1) in enumerate(combos)
-                if (u1, s - u1) in ((1, 1), (1, 2), (2, 1), (2, 2))]
-    stk_idx = [ci for ci, (s, u1) in enumerate(combos) if s <= 1]
-    bconst_np = np.zeros(C)
-    for ci in range(C):
-        s = int(s_np[ci])
-        if is_bulge[ci]:
-            bconst_np[ci] = (r_np["bulge"][s] if s <= 30 else
-                             r_np["bulge"][30] + r_np["lxc"] * np.log(s / 30.))
-    iconst_np = r_np["intloop"][np.minimum(s_np, 30)]
-
-    def c1(x, dtype_):  # [1, C, 1] constant
-        return jnp.asarray(np.asarray(x).reshape(1, C, 1), dtype_)
-
-    bconst = c1(bconst_np, dt)
-    iconst = c1(iconst_np, dt)
-    m_bN = c1(is_bN, bool)
-    u1_c = jnp.asarray(u1_np)
-    u2_c = jnp.asarray(u2_np)
-    TAU = t["term_au"]
+    ME1 = max_ext + 1
 
     def body(st):
         L = st["L"]
         active = st["active"]
+        win_h, win_a = st["win_h"], st["win_a"]
         z0 = jnp.asarray(0, L.dtype)
 
-        # rows 0..dropout = predecessor diagonals L-2-dropout..L-2 (the
-        # pruned stems window); row dropout+1 = diag L-1 (fallback scan only)
-        win_h = lax.dynamic_slice(st["hyb"], (z0, L, z0), (B, dropout + 2, W))
-        win_s = lax.dynamic_slice(st["st"], (z0, L, z0), (B, dropout + 2, W))
-        win_a = lax.dynamic_slice(st["adm"], (z0, L, z0), (B, dropout + 2, W))
-        win_m = lax.dynamic_slice(st["mt"], (z0, L, z0), (B, dropout + 2, W))
-        win_v = lax.dynamic_slice(st["vm"], (z0, L, z0), (B, dropout + 2, W))
+        nz0 = prow("NZ0", L)
+        w0 = prow("W0", L)
+        au0 = prow("AU0", L)
+        badr = prow("BAD", L)
+        ms = prow("MS", L)
+        extdb_j = dslice(extdbr, XW - 1 - L)
 
-        # stems[0] fallback: when a cell has no finite predecessor the
-        # reference records stems[0] (first surviving stem) in the cell
-        # (gapped_extension.cpp:230-258, min_k initialized to 0); its type
-        # feeds later helix-gate reads. First admitted cell in (diag, k)
-        # order over the surviving window.
-        adm_flat = win_a.reshape(B, -1)
-        first_idx = jnp.argmax(adm_flat, axis=1)
-        stem0_type = jnp.where(
-            jnp.any(adm_flat, axis=1),
-            jnp.take_along_axis(win_s.reshape(B, -1), first_idx[:, None],
-                                axis=1)[:, 0], 0)
-
-        rev0 = XW - 1 - L  # slice start for u = 0
-        dm_t = dslice(dmr, rev0)           # dm[L-i]   (cell db char)
-        dm_b = dslice(dmr, rev0 + 1)       # dm[L-i-1] (interior b char)
-        extdb_j = dslice(extdbr, rev0)     # extdb[L-i]
+        # stems[0] fallback bits: first admitted cell in (diag, k) order
+        # over the surviving window (reference gapped_extension.cpp:230-258,
+        # min_k initialized to 0); only its (==0, wobble) bits are needed
+        adm_flat = win_a.reshape(-1, B)
+        first_idx = jnp.argmax(adm_flat, axis=0)
+        any_adm = jnp.any(adm_flat, axis=0)
+        nzw = pwin("NZ0", L).reshape(-1, B)
+        w0w = pwin("W0", L).reshape(-1, B)
+        s0_nz = jnp.take_along_axis(nzw, first_idx[None], axis=0)[0]
+        s0_w = jnp.take_along_axis(w0w, first_idx[None], axis=0)[0]
+        stem0_z = jnp.where(any_adm, ~s0_nz, True)
+        stem0_w = jnp.where(any_adm, s0_w, False)
 
         # --- helix/wobble admission (reference: gapped_extension.cpp:342-364)
-        t0 = bp[qm_i * 5 + dm_t]
-        if flag == 1:
-            t0 = rt[t0]
-        prev_mt = _sr(win_m[:, dropout, :], 1, 0)  # m[i-1][j-1].type
-        gate = (prev_mt == 0) | (_wob(t0) & _wob(prev_mt))
-        bad = jnp.zeros((B, W), bool)
-        for xi, x in enumerate(range(1, min_helix)):
-            tx = bp[qm_hx[xi] * 5 + dslice(dmr, rev0 - x)]
-            if flag == 1:
-                tx = rt[tx]
-            zx = tx == 0
-            if x == 1:
-                zx = zx | (_wob(t0) & _wob(tx))
-            bad = bad | zx
-        type1 = jnp.where(gate & bad, 0, t0)
+        # prev_mt = m[i-1][j-1].type: diag L-2 bits shifted one lane (the
+        # shifted-in lane reads type 0 -> z bit True)
+        prev_z = _sr(st["mtz_m1"], 1, True)
+        prev_w = _sr(st["mtw_m1"], 1, False)
+        gate = prev_z | (w0 & prev_w)
+        j_lane = L - i_lane               # [W, 1]
+        cellmask = (active[None, :] & (i_lane >= 1)
+                    & (i_lane <= L - 1)
+                    & (i_lane <= maxq[None, :])
+                    & (j_lane <= maxd[None, :]))
+        adm_new = cellmask & nz0 & ~(gate & badr)
 
-        j_lane = L - i_lane
-        cellmask = (active[:, None] & (i_lane >= 1)[None, :]
-                    & (i_lane <= L - 1)[None, :]
-                    & (i_lane[None, :] <= maxq[:, None])
-                    & (j_lane[None, :] <= maxd[:, None]))
-        adm_new = cellmask & (type1 != 0)
+        # --- running-min combo scan (stems order; strict < keeps the first
+        # occurrence, reproducing the reference's stems-scan tie-breaking).
+        # Non-admitted predecessor cells hold INF in the hyb window, so
+        # garbage plane values can never win; no admission mask needed.
+        vm_win = pwin("VM", L, PW)
+        au_win = pwin("AU0", L, PW)
+        zw_win = pwin("ZW", L, PW)
+        au_f = jnp.where(au0, TAU, jnp.asarray(0, dt))
+        base_pk = i_lane * max_ext + L    # i*ME1 + (L - i) = packed (i, j)
+        run_min = jnp.full((W, B), INF, dt)
+        run_pay = jnp.zeros((W, B), jnp.int32)
+        z32 = jnp.asarray(0, dt)
 
-        # --- predecessor window min over the combo axis (stems-list order).
-        # Combo (s, u1)'s predecessor values live at window row dropout - s,
-        # lane i - u1 - 1: a STATIC row index and a STATIC lane shift, so
-        # the [B, C, W] predecessor tensors are stacks of shifted row views
-        # (full-bandwidth copies) instead of irregular-index gathers — the
-        # gathers were the measured on-chip bottleneck (NOTES.md round 3).
-        def shifted(win, fill):
-            return jnp.stack([_sr(win[:, dropout - s, :], u1 + 1, fill)
-                              for (s, u1) in combos], axis=1)
+        def shv(win2d, sh):
+            # lane i reads the value lane i - sh held (static view of the
+            # lane-padded row)
+            return win2d[PAD - sh: PAD - sh + W]
 
-        ph_all = shifted(win_h, INF)
-        pt_all = shifted(win_s, 0)
-        pa_all = shifted(win_a, False)   # shift-in False == k >= 0 mask
-        vm_all = shifted(win_v, jnp.asarray(0, dt))
-
-        t1b = type1[:, None, :]
-        if flag == 0:
-            mism_shared = t["mismI"][(type1 * 5 + qm_im1) * 5 + dm_b]
-        else:
-            mism_shared = t["mismI"][(type1 * 5 + dm_b) * 5 + qm_im1]
-        # general internal loop: length const + shared mismatch (current
-        # cell) + predecessor-cell mismatch (precomputed row value)
-        E = iconst + mism_shared[:, None, :] + vm_all
-        au_term = (jnp.where(t1b > 2, TAU, jnp.asarray(0, dt))
-                   + jnp.where(pt_all > 2, TAU, jnp.asarray(0, dt)))
-        E = jnp.where(m_bN, bconst + au_term, E)
-        # stack (s=0) and size-1 bulges (s=1): stack37[t1, pt] lookups on
-        # just those combos
-        for ci in stk_idx:
-            s, _u1 = combos[ci]
-            pt_r = pt_all[:, ci, :]
-            stk = (t["stack"][type1 * 7 + pt_r] if flag == 0
-                   else t["stack"][pt_r * 7 + type1])
-            e_ci = stk if s == 0 else jnp.asarray(r_np["bulge"][1], dt) + stk
-            E = E.at[:, ci, :].set(e_ci)
-        E = E / 100.0
-        for ci in spec_idx:
-            s, u1 = combos[ci]
+        for (s, u1) in combos:
             u2 = s - u1
-            pt_r = pt_all[:, ci, :]
-            cq_r = _sr(qm_i, u1, 0)               # qm[i - u1] = qm[k + 1]
-            dd_r = dslice(dmr, rev0 + u2)         # dm[L - i - u2] = dm[l + 1]
-            if flag == 0:
-                ta, tb, a, b, c, dch = type1, pt_r, qm_im1, dm_b, cq_r, dd_r
+            r = dropout - s
+            sh = u1 + 1
+            ph_sh = shv(win_h[r], sh)
+            if s >= 2 and u1 >= 1 and u2 >= 1 and \
+                    (u1, u2) not in ((1, 1), (1, 2), (2, 1), (2, 2)):
+                raw = ((float(r_np["intloop"][min(s, 30)]) + ms)
+                       + shv(vm_win[r], sh))
+                Et = raw / 100.0 + ph_sh
+            elif s >= 2 and (u1 == 0 or u2 == 0):
+                au_p = jnp.where(shv(au_win[r], sh), TAU, z32)
+                Et = (_bulge_const(s) + au_f + au_p) / 100.0 + ph_sh
             else:
-                ta, tb, a, b, c, dch = pt_r, type1, cq_r, dd_r, qm_im1, dm_b
-            E = E.at[:, ci, :].set(
-                _loop_e(t, dt, u1, u2, ta, tb, a, b, c, dch))
-        Et = jnp.where(pa_all, E.astype(dt) + ph_all, INF)
-        hyb = jnp.min(Et, axis=1)
-        arg = jnp.argmin(Et, axis=1).astype(jnp.int32)  # first = stems order
-        au1 = u1_c[arg]
-        au2 = u2_c[arg]
-        k_pred = i_lane[None, :] - au1 - 1
-        l_pred = j_lane[None, :] - au2 - 1
-        ptype = jnp.take_along_axis(pt_all, arg[:, None, :], axis=1)[:, 0]
-        # no finite predecessor -> reference keeps stems[0]
+                name = {(0, 0): "STK00", (1, 0): "STK10", (0, 1): "STK01",
+                        (1, 1): "V11", (1, 2): "V12", (2, 1): "V21",
+                        (2, 2): "V22"}[(u1, u2)]
+                Et = prow(name, L) + ph_sh
+            # payload: packed pred coords (k, l) = (i-u1-1, j-u2-1) plus
+            # the pred stored-type bits from the ZW plane
+            pay = (shv(zw_win[r], sh)
+                   + (base_pk - ((u1 + 1) * ME1 + u2 + 1)))
+            better = Et < run_min
+            run_min = jnp.where(better, Et, run_min)
+            run_pay = jnp.where(better, pay, run_pay)
+
+        hyb = run_min
         nopred = jnp.isinf(hyb)
-        ptype = jnp.where(nopred, stem0_type[:, None], ptype)
-        packed = jnp.where(nopred, 0, k_pred * (max_ext + 1) + l_pred)
+        pay = jnp.maximum(run_pay, 0)
+        pk = pay & 16383
+        mtz_c = jnp.where(nopred, stem0_z, (pay & 16384) != 0)
+        mtw_c = jnp.where(nopred, stem0_w, (pay & 32768) != 0)
+        packed = jnp.where(nopred, 0, pk)
 
         hyb_row = jnp.where(adm_new, hyb, INF)
-        st_row = jnp.where(adm_new, rt[type1], 0)
-        mt_row = jnp.where(adm_new, ptype, 0)
         pr_row = jnp.where(adm_new, packed, -1)
-        vm_row = mism_row(st_row, dslice(dmr1, rev0))
-
-        def upd(buf, row):
-            return lax.dynamic_update_slice(buf, row[:, None, :],
-                                            (z0, L + OFF, z0))
+        mtz_row = jnp.where(adm_new, mtz_c, True)
+        mtw_row = jnp.where(adm_new, mtw_c, False)
 
         # --- running minimum (reference: gapped_extension.cpp:259-276)
         inter = jnp.where(adm_new, extq_i + extdb_j + hyb, INF)
-        dmin = jnp.min(inter, axis=1)
-        darg = jnp.argmin(inter, axis=1).astype(jnp.int32)
+        dmin = jnp.min(inter, axis=0)
+        darg = jnp.argmin(inter, axis=0).astype(jnp.int32)
         improve = active & (dmin < st["min_e"])
         min_e = jnp.where(improve, dmin, st["min_e"])
         min_i = jnp.where(improve, darg, st["min_i"])
@@ -458,8 +602,7 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         acc_new = acc0.astype(dt) + _take(extq, darg) + _take(extdb, L - darg)
         min_a = jnp.where(improve, acc_new, st["min_a"])
 
-        # --- termination (reference: gapped_extension.cpp:292-297): dropout
-        # window exhausted, or both boundaries known
+        # --- termination (reference: gapped_extension.cpp:292-297)
         stop = ((L - min_len >= dropout)
                 | ((L > maxq) & (L > maxd)))
         ovf = st["ovf"] | (active & ~stop & (L >= max_ext))
@@ -468,33 +611,39 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         return dict(L=L + 1, active=active, ovf=ovf,
                     min_e=min_e, min_i=min_i, min_j=min_j, min_len=min_len,
                     min_a=min_a,
-                    hyb=upd(st["hyb"], hyb_row), st=upd(st["st"], st_row),
-                    mt=upd(st["mt"], mt_row), adm=upd(st["adm"], adm_new),
-                    pred=upd(st["pred"], pr_row), vm=upd(st["vm"], vm_row))
+                    win_h=jnp.concatenate(
+                        [win_h[1:],
+                         jnp.concatenate([jnp.full((PAD, B), INF, dt),
+                                          hyb_row], 0)[None]], 0),
+                    win_a=jnp.concatenate([win_a[1:], adm_new[None]], 0),
+                    mtz_m1=st["mtz_0"], mtw_m1=st["mtw_0"],
+                    mtz_0=mtz_row, mtw_0=mtw_row,
+                    pred=lax.dynamic_update_slice(
+                        st["pred"], pr_row[None], (L + OFF, z0, z0)))
 
     st = dict(L=jnp.asarray(1, jnp.int32), active=valid,
               ovf=jnp.zeros(B, bool),
               min_e=energy0.astype(dt), min_i=jnp.zeros(B, jnp.int32),
               min_j=jnp.zeros(B, jnp.int32), min_len=jnp.zeros(B, jnp.int32),
               min_a=acc0.astype(dt),
-              hyb=hyb_buf, st=st_buf, mt=mt_buf, adm=adm_buf, pred=pred_buf,
-              vm=vm_buf)
+              win_h=win_h0, win_a=win_a0,
+              mtz_m1=mtz_m1, mtw_m1=mtw_m1, mtz_0=mtz_0, mtw_0=mtw_0,
+              pred=pred_buf)
     st = lax.while_loop(lambda s: jnp.any(s["active"]), body, st)
 
     # --- device traceback (reference: gapped_extension.cpp:409-424): walk
     # the predecessor links from (min_i, min_j); every step decreases the
     # diagonal by >= 2, so max_ext // 2 + 1 steps always reach the origin.
-    # Emitted (ti, tj) offset pairs are in reference push order.
-    pred_flat = st["pred"].reshape(B, DD * W)
+    pred_flat = st["pred"].reshape(DD * W, B)
 
     def tb_step(carry, _):
         ti, tj = carry
         live = (ti != 0) & (tj != 0)
         packed = jnp.take_along_axis(
-            pred_flat, ((ti + tj + OFF) * W + ti)[:, None], axis=1)[:, 0]
+            pred_flat, ((ti + tj + OFF) * W + ti)[None], axis=0)[0]
         packed = jnp.maximum(packed, 0)
-        nti = jnp.where(live, packed // (max_ext + 1), 0)
-        ntj = jnp.where(live, packed % (max_ext + 1), 0)
+        nti = jnp.where(live, packed // ME1, 0)
+        ntj = jnp.where(live, packed % ME1, 0)
         return (nti.astype(jnp.int32), ntj.astype(jnp.int32)), \
             (jnp.where(live, ti, 0), jnp.where(live, tj, 0))
 
@@ -515,8 +664,8 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
     dict holds the gapped base pairs in reference push order as flattened
     arrays: n0/q0/db0 for the left extension (per-hit counts + coords) and
     n1/q1/db1 for the right. Hits flagged overflow are NOT extended here —
-    the caller must re-run them on the host engine from their pre-extension
-    state.
+    the caller must re-run them at a deeper max_ext (device) or on the host
+    engine from their pre-extension state.
 
     qbufs = (q_enc_flat, q_acc_flat, q_cond_flat) and dbufs = (db_seq_flat,
     db_acc_flat, db_cond_flat) are jnp device copies; reference:
