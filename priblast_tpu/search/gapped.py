@@ -96,9 +96,9 @@ def _plane_tables(flag: int):
     """Composite numpy lookup tables over combined-character indices for
     the per-cell energy planes. Conventions: q-side combined index is
     (qm[x]*5 + aux1)(*5 + aux2); d-side likewise with dm[y] leading. All
-    value tables are raw Turner units except STK*/V* which are /100
-    (matching the round-3 kernel's arithmetic: raw integer sums are exact
-    in f32, the single /100 happens on the summed value). Table
+    value tables are RAW Turner units; the single /100 happens in-kernel
+    at the working dtype (matching the round-3 arithmetic exactly — a
+    pre-divided f64 table would double-round the f32 path). Table
     compositions mirror ops/native/search.cc loop37_gapped and
     gapped_extension.cpp:426-473.
     """
@@ -143,9 +143,9 @@ def _plane_tables(flag: int):
     def stk(pt):
         return stack[T * 7 + pt] if flag == 0 else stack[pt * 7 + T]
 
-    out["STK00"] = q2d2(stk(S_) / 100.0)
-    out["STK10"] = q2d2((b1 + stk(S_)) / 100.0)   # aux: (qm[x-2], dm[y-1])
-    out["STK01"] = q2d2((b1 + stk(S_)) / 100.0)   # aux: (qm[x-1], dm[y-2])
+    out["STK00"] = q2d2(stk(S_))
+    out["STK10"] = q2d2(b1 + stk(S_))   # aux: (qm[x-2], dm[y-1])
+    out["STK01"] = q2d2(b1 + stk(S_))   # aux: (qm[x-1], dm[y-2])
     # small-internal specials, /100. V11 carries tb in its char axes;
     # V12/V21/V22 are per-tb slates (tb = predecessor stored type 0..6),
     # combined in xy space against the TB planes.
@@ -160,7 +160,7 @@ def _plane_tables(flag: int):
         v11 = i11[((T * 8 + TB) * 5 + QA) * 5 + DA]
     else:
         v11 = i11[((TB * 8 + T) * 5 + QA) * 5 + DA]
-    out["V11"] = q3d3(v11 / 100.0)
+    out["V11"] = q3d3(v11)
 
     C1, QA, C2, DA, DG = np.ix_(A5, A5, A5, A5, A5)
     T = t0[C1, C2]
@@ -187,9 +187,9 @@ def _plane_tables(flag: int):
         else:
             z = i22[((((tb * 8 + T) * 5 + QE) * 5 + QA) * 5 + DA) * 5 + DG]
         v22.append(z.reshape(125, 125))
-    out["V12"] = np.stack(v12) / 100.0            # [7, 25, 125]
-    out["V21"] = np.stack(v21) / 100.0            # [7, 125, 25]
-    out["V22"] = np.stack(v22) / 100.0            # [7, 125, 125]
+    out["V12"] = np.stack(v12)                    # [7, 25, 125]
+    out["V21"] = np.stack(v21)                    # [7, 125, 25]
+    out["V22"] = np.stack(v22)                    # [7, 125, 125]
     # bit/bool tables of the flag-adjusted type
     out["NZ0"] = (t0 != 0).astype(np.float64)
     out["W0"] = _np_wob(t0).astype(np.float64)
@@ -227,15 +227,12 @@ def _take(arr2d, idx):
         arr2d, jnp.clip(idx, 0, arr2d.shape[0] - 1)[None, :], axis=0)[0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("flag", "d", "dropout", "min_helix",
-                                    "max_ext", "dtype"))
-def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
-                         valid, qb, qab, dbb, aoff, coff,
-                         q_enc, db_seq, q_acc, q_cond,
-                         db_acc, db_cond, *, flag: int,
-                         d: int, dropout: int, min_helix: int, max_ext: int,
-                         dtype: str = "float32"):
+def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
+                valid, qb, qab, dbb, aoff, coff,
+                q_enc, db_seq, q_acc, q_cond,
+                db_acc, db_cond, *, flag: int,
+                d: int, dropout: int, min_helix: int, max_ext: int,
+                dtype: str = "float32"):
     """One direction (flag 0 = left, 1 = right) of the gapped extension for
     a batch of hits over flattened buffers.
 
@@ -381,15 +378,15 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
     P = {}
     P["MS"] = shear(xy_plane(pt_tab["MS"], pairq(qm1), paird(dym1)), 0.0)
     P["VM"] = shear(xy_plane(pt_tab["VM"], pairq(qp1), paird(dyp1)), 0.0)
-    P["STK00"] = shear(xy_plane(pt_tab["STK00"], pairq(qm1), paird(dym1)),
-                       0.0)
-    P["STK10"] = shear(xy_plane(pt_tab["STK10"], pairq(qm2), paird(dym1)),
-                       0.0)
-    P["STK01"] = shear(xy_plane(pt_tab["STK01"], pairq(qm1), paird(dym2)),
-                       0.0)
+    P["STK00"] = shear(xy_plane(pt_tab["STK00"], pairq(qm1),
+                                paird(dym1)) / 100.0, 0.0)
+    P["STK10"] = shear(xy_plane(pt_tab["STK10"], pairq(qm2),
+                                paird(dym1)) / 100.0, 0.0)
+    P["STK01"] = shear(xy_plane(pt_tab["STK01"], pairq(qm1),
+                                paird(dym2)) / 100.0, 0.0)
     q3 = pairq(qm1) * 5 + qm2
     d3 = paird(dym1) * 5 + dym2
-    P["V11"] = shear(xy_plane(pt_tab["V11"], q3, d3), 0.0)
+    P["V11"] = shear(xy_plane(pt_tab["V11"], q3, d3) / 100.0, 0.0)
     # V12/V21/V22: per-tb xy planes combined against the predecessor
     # stored-type plane (char-derived; garbage preds carry INF energy)
     stt = jnp.asarray(pt_tab["STT"], dt)
@@ -407,11 +404,11 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
         return acc
 
     P["V12"] = shear(tb_combine(pt_tab["V12"], pairq(qm1), d3,
-                                tb_plane(2, 3)), 0.0)
+                                tb_plane(2, 3)) / 100.0, 0.0)
     P["V21"] = shear(tb_combine(pt_tab["V21"], q3, paird(dym1),
-                                tb_plane(3, 2)), 0.0)
+                                tb_plane(3, 2)) / 100.0, 0.0)
     P["V22"] = shear(tb_combine(pt_tab["V22"], q3, d3,
-                                tb_plane(3, 3)), 0.0)
+                                tb_plane(3, 3)) / 100.0, 0.0)
     # type-bit planes (flag-adjusted cell type t0): nonzero, wobble,
     # terminal-AU, helix badness, packed pred-type bits
     nz0_xy = xy_plane(pt_tab["NZ0"], qx, dmY)
@@ -654,6 +651,56 @@ def gapped_extend_device(q_start, db_start, id_anchor, energy0, acc0,
                 tb_i=tb_i.T, tb_j=tb_j.T)
 
 
+gapped_extend_device = functools.partial(
+    jax.jit, static_argnames=("flag", "d", "dropout", "min_helix",
+                              "max_ext", "dtype"))(_extend_dir)
+
+# hit_i column order for the fused both-directions call
+_HI_COLS = ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start",
+            "qb", "qab", "dbb", "aoff", "coff")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("d", "dropout", "min_helix", "max_ext",
+                                    "dtype"))
+def gapped_extend_both(hit_i, hit_f, valid,
+                       q_enc, db_seq, q_acc, q_cond, db_acc, db_cond, *,
+                       d: int, dropout: int, min_helix: int, max_ext: int,
+                       dtype: str = "float32"):
+    """Both extension directions in ONE device program (left, then right
+    from the post-left extents — reference gapped_extension.cpp:41-47).
+    One dispatch + stacked transfers: on a tunneled chip each jit call
+    costs ~10-30 ms of dispatch/sync, so the per-direction host round
+    trip of the staged form dominated small batches (NOTES.md round 4).
+
+    hit_i: [B, 10] int32, columns per _HI_COLS; hit_f: [B, 2] float64
+    (energy, acc_e); valid: [B] bool. Returns (ints [B, 4] = min_i/j of
+    each direction, floats [B, 2] = final energy/acc, overflow [B],
+    tb [B, 4, T] = tb_i0, tb_j0, tb_i1, tb_j1).
+    """
+    cols = {k: hit_i[:, ci] for ci, k in enumerate(_HI_COLS)}
+    energy, acc_e = hit_f[:, 0], hit_f[:, 1]
+    seqs = (q_enc, db_seq, q_acc, q_cond, db_acc, db_cond)
+    bases = tuple(cols[k] for k in ("qb", "qab", "dbb", "aoff", "coff"))
+    kw = dict(d=d, dropout=dropout, min_helix=min_helix, max_ext=max_ext,
+              dtype=dtype)
+    r0 = _extend_dir(cols["q_sp"], cols["db_sp"],
+                     cols["dbseq_start"] + cols["db_len"] - 1,
+                     energy, acc_e, valid, *bases, *seqs, flag=0, **kw)
+    q_sp2 = cols["q_sp"] - r0["min_i"]
+    db_sp2 = cols["db_sp"] - r0["min_j"]
+    q_end2 = q_sp2 + (cols["q_len"] + r0["min_i"]) - 1
+    db_end2 = db_sp2 + (cols["db_len"] + r0["min_j"]) - 1
+    r1 = _extend_dir(q_end2, db_end2, cols["dbseq_start"],
+                     r0["min_e"], r0["min_a"], valid, *bases, *seqs,
+                     flag=1, **kw)
+    ints = jnp.stack([r0["min_i"], r0["min_j"], r1["min_i"], r1["min_j"]],
+                     axis=1)
+    floats = jnp.stack([r1["min_e"], r1["min_a"]], axis=1)
+    tb = jnp.stack([r0["tb_i"], r0["tb_j"], r1["tb_i"], r1["tb_j"]], axis=1)
+    return ints, floats, r0["overflow"] | r1["overflow"], tb
+
+
 def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
                              dropout: int, min_helix: int, max_ext: int = 64,
                              dtype: str = "float32",
@@ -671,82 +718,62 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
     db_acc_flat, db_cond_flat) are jnp device copies; reference:
     gapped_extension.cpp:41-67.
     """
+    from priblast_tpu.parallel import dist
+
     n = len(hits["q_sp"])
     B = pad_to or max(8, 1 << (n - 1).bit_length())
     assert B >= n
 
-    def pad(a, dtype_, fill=0):
-        out = np.full(B, fill, dtype_)
-        out[:n] = a
-        return out
-
-    def put(a):
-        from priblast_tpu.parallel import dist
-
-        return dist.put_batch(a, mesh)
-
-    q_sp = pad(hits["q_sp"], np.int32)
-    db_sp = pad(hits["db_sp"], np.int32)
-    q_len = pad(hits["q_len"], np.int32, 1)
-    db_len = pad(hits["db_len"], np.int32, 1)
-    ids = pad(hits["dbseq_start"], np.int32)
-    energy = pad(hits["energy"], np.float64)
-    acc_e = pad(hits["acc_e"], np.float64)
-    bases = [put(pad(hits[k], np.int32))
-             for k in ("qb", "qab", "dbb", "aoff", "coff")]
+    hit_i = np.zeros((B, len(_HI_COLS)), np.int32)
+    for ci, k in enumerate(_HI_COLS):
+        hit_i[:n, ci] = hits[k]
+    hit_i[n:, 2] = 1   # q_len
+    hit_i[n:, 3] = 1   # db_len
+    hit_f = np.zeros((B, 2), np.float64)
+    hit_f[:n, 0] = hits["energy"]
+    hit_f[:n, 1] = hits["acc_e"]
     valid = np.zeros(B, bool)
     valid[:n] = True
 
-    kw = dict(d=d, dropout=dropout, min_helix=min_helix, max_ext=max_ext,
-              dtype=dtype)
-    # kernel buffer order: q_enc, db_seq, q_acc, q_cond, db_acc, db_cond
-    seqs = (qbufs[0], dbufs[0], qbufs[1], qbufs[2], dbufs[1], dbufs[2])
+    ints, floats, ovf, tb = gapped_extend_both(
+        dist.put_batch(hit_i, mesh), dist.put_batch(hit_f, mesh),
+        dist.put_batch(valid, mesh),
+        qbufs[0], dbufs[0], qbufs[1], qbufs[2], dbufs[1], dbufs[2],
+        d=d, dropout=dropout, min_helix=min_helix, max_ext=max_ext,
+        dtype=dtype)
+    ints = np.asarray(ints)[:n]
+    floats = np.asarray(floats)[:n]
+    tb = np.asarray(tb)[:n]
+    overflow = np.asarray(ovf)[:n]
+    m_i0, m_j0, m_i1, m_j1 = (ints[:, k] for k in range(4))
+    q_sp = hits["q_sp"].astype(np.int32)
+    db_sp = hits["db_sp"].astype(np.int32)
+    q_sp2 = q_sp - m_i0
+    db_sp2 = db_sp - m_j0
+    q_len2 = hits["q_len"].astype(np.int32) + m_i0
+    db_len2 = hits["db_len"].astype(np.int32) + m_j0
 
-    def coords(r, q0, db0, sgn):
+    def coords(tb_i, tb_j, q0, db0, sgn):
         """Vectorized traceback coordinates in push order."""
-        tb_i = np.asarray(r["tb_i"])[:n]
-        tb_j = np.asarray(r["tb_j"])[:n]
         mask = (tb_i > 0) & (tb_j > 0)
-        cq = (q0[:n, None] + sgn * tb_i)[mask]
-        cdb = (db0[:n, None] + sgn * tb_j)[mask]
+        cq = (q0[:, None] + sgn * tb_i)[mask]
+        cdb = (db0[:, None] + sgn * tb_j)[mask]
         return dict(n=mask.sum(axis=1).astype(np.int64),
                     q=cq.astype(np.int32), db=cdb.astype(np.int32))
 
-    # ---- left (flag 0)
-    r0 = gapped_extend_device(
-        put(q_sp), put(db_sp),
-        put(ids + db_len - 1), put(energy),
-        put(acc_e), put(valid), *bases, *seqs,
-        flag=0, **kw)
-    bp0 = coords(r0, q_sp, db_sp, -1)
-    m_i0 = np.asarray(r0["min_i"])
-    m_j0 = np.asarray(r0["min_j"])
-    q_sp2 = q_sp - m_i0
-    db_sp2 = db_sp - m_j0
-    q_len2 = q_len + m_i0
-    db_len2 = db_len + m_j0
-    e2 = np.asarray(r0["min_e"]).astype(np.float64)
-    a2 = np.asarray(r0["min_a"]).astype(np.float64)
-
-    # ---- right (flag 1), from the post-left extents
-    r1 = gapped_extend_device(
-        put(q_sp2 + q_len2 - 1), put(db_sp2 + db_len2 - 1),
-        put(ids), put(e2), put(a2),
-        put(valid), *bases, *seqs, flag=1, **kw)
-    bp1 = coords(r1, q_sp2 + q_len2 - 1, db_sp2 + db_len2 - 1, 1)
-    m_i1 = np.asarray(r1["min_i"])
-    m_j1 = np.asarray(r1["min_j"])
+    bp0 = coords(tb[:, 0], tb[:, 1], q_sp, db_sp, -1)
+    bp1 = coords(tb[:, 2], tb[:, 3], q_sp2 + q_len2 - 1,
+                 db_sp2 + db_len2 - 1, 1)
 
     out = dict(hits)
-    out["q_sp"] = q_sp2[:n]
-    out["db_sp"] = db_sp2[:n]
-    out["q_len"] = (q_len2 + m_i1)[:n]
-    out["db_len"] = (db_len2 + m_j1)[:n]
-    out["dbseq_start"] = (ids - m_j1)[:n]
-    out["energy"] = np.asarray(r1["min_e"]).astype(np.float64)[:n]
-    out["acc_e"] = np.asarray(r1["min_a"]).astype(np.float64)[:n]
+    out["q_sp"] = q_sp2
+    out["db_sp"] = db_sp2
+    out["q_len"] = q_len2 + m_i1
+    out["db_len"] = db_len2 + m_j1
+    out["dbseq_start"] = hits["dbseq_start"].astype(np.int32) - m_j1
+    out["energy"] = floats[:, 0].astype(np.float64)
+    out["acc_e"] = floats[:, 1].astype(np.float64)
     out["hyb_e"] = out["energy"] - out["acc_e"]
-    overflow = (np.asarray(r0["overflow"]) | np.asarray(r1["overflow"]))[:n]
     bps = dict(n0=bp0["n"], q0=bp0["q"], db0=bp0["db"],
                n1=bp1["n"], q1=bp1["q"], db1=bp1["db"])
     return out, bps, overflow
