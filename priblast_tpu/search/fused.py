@@ -214,9 +214,275 @@ def _fused_sharded(mesh, d, max_len, sbits, dtype_name, thr, dropout,
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# v2 single-device path (round 4): gather-minimal expansion + windowed
+# extension. The round-3 `_core` above (kept for the mesh/shard_map path)
+# measured ~18k pairs/s on a v5e: its searchsorted/candidate-row/binary-
+# search gathers ran at ~110 M elems/s and its lockstep extension ran as
+# many serial steps as the WORST lane needed. v2 restructures:
+#
+#   A  expansion: candidate-constant fields reach the pair lanes by
+#      SCATTER + CUMSUM segment broadcasts (one scatter of the candidate
+#      boundaries + one prefix sum per field — bandwidth, not gathers;
+#      float fields ride bitcast int32 deltas, exactly). The owning db
+#      sequence comes from dense position->sequence maps (DbPack.pos_*),
+#      one gather per field instead of a per-pair binary search. Window
+#      accessibility sums are two point reads of hi/lo split prefix sums
+#      (pipeline._prefix_hilo) instead of a [B, max_len] tap gather.
+#      Survivors of the interaction filter are compacted on device.
+#   B  windowed ungapped extension (search/uwin.py) on the compacted
+#      stream: per-step energies from one-hot MXU planes, a 24-step
+#      sequential scan with the reference's exact f32 arithmetic.
+#   C  the few lanes still extending at the window edge re-run on the
+#      lockstep kernel (search/ungapped.py), gathered/scattered by index.
+#   D  threshold filter + final compaction; the host reads back only the
+#      surviving hits.
+# ---------------------------------------------------------------------------
+
+
+def _seg_i32(vals, base_ci, idx, B: int):
+    """Segment-broadcast vals[ci] over the pair lanes: scatter the
+    candidate-boundary deltas, prefix-sum. vals: [NCP] int32."""
+    dv = vals[1:] - vals[:-1]
+    arr = jnp.zeros(B, jnp.int32).at[0].add(vals[base_ci])
+    arr = arr.at[idx[1:]].add(dv, mode="drop")
+    return jnp.cumsum(arr)
+
+
+def _expand_core(d: int, dtype_name: str, cap: int, B: int,
+                 o, n_pairs, cand, cum, energy_c,
+                 q_sa, db_sa, pos_sid, pos_start, pos_len, pos_aoff,
+                 pos_coff, q_acc, qp_hi, qp_lo, db_acc, dp_hi, dp_lo):
+    """Kernel A: one [B] pair block -> compacted acc-filter survivors."""
+    dt = jnp.float64 if dtype_name == "float64" else jnp.float32
+    pid = o + lax.iota(jnp.int32, B)
+    live = pid < n_pairs
+    base_ci = jnp.clip(
+        jnp.searchsorted(cum, o, side="right").astype(jnp.int32) - 1,
+        0, cand.shape[1] - 1)
+    # candidate start positions within this block (-1 = before the block,
+    # dropped by scatter mode="drop")
+    idx = jnp.where(cum[:-1] > o, cum[:-1] - o, -1).astype(jnp.int32)
+
+    def seg(r):
+        return _seg_i32(cand[r], base_ci, idx, B)
+
+    nq = jnp.maximum(seg(_R_NQ), 1)
+    cumci = _seg_i32(cum[:-1].astype(jnp.int32), base_ci, idx, B)
+    off = pid - cumci
+    ki = off // nq
+    qi = off - ki * nq
+    if dtype_name == "float64":
+        # broadcast the f64 bits exactly as two int32 segment sums
+        bits = lax.bitcast_convert_type(energy_c, jnp.int32)   # [NCP, 2]
+        eb = jnp.stack([_seg_i32(bits[:, 0], base_ci, idx, B),
+                        _seg_i32(bits[:, 1], base_ci, idx, B)], axis=1)
+        energy = lax.bitcast_convert_type(eb, jnp.float64)
+    else:
+        energy = lax.bitcast_convert_type(
+            _seg_i32(lax.bitcast_convert_type(energy_c, jnp.int32),
+                     base_ci, idx, B), jnp.float32)
+
+    def at(buf, pos):
+        return buf[jnp.clip(pos, 0, buf.shape[0] - 1)]
+
+    q_sp = at(q_sa, seg(_R_QSA) + qi)
+    db_sp = at(db_sa, seg(_R_DSA) + ki)
+    length = jnp.maximum(seg(_R_LEN), 1)
+    qb = seg(_R_QB)
+    qab = seg(_R_QAB)
+    dbb = seg(_R_DBB)
+
+    # owning db sequence via the dense position maps (reference:
+    # src/seed_search.cpp:101-141)
+    pos = dbb + db_sp
+    sid = at(pos_sid, pos)
+    local_start = at(pos_len, pos) - (db_sp - at(pos_start, pos)) - length
+    aoff = at(pos_aoff, pos)
+    coff = at(pos_coff, pos)
+
+    # window accessibility as prefix-sum differences (reference:
+    # src/seed_search.cpp:143-151); hi differences are exact (Sterbenz),
+    # lo differences restore the bits the split dropped
+    def win(acc_pt, hi, lo, abase, cbase):
+        a = cbase + d
+        b_ = cbase + length
+        s = ((at(hi, b_) - at(hi, a)).astype(dt)
+             + (at(lo, b_) - at(lo, a)).astype(dt))
+        return at(acc_pt, abase).astype(dt) + s
+
+    qa = win(q_acc, qp_hi, qp_lo, qab + q_sp, qab + q_sp)
+    dba = win(db_acc, dp_hi, dp_lo, aoff + local_start, coff + local_start)
+    acc_e = qa + dba
+    keep = live & (acc_e + energy.astype(dt) < 0)
+
+    cidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dst = jnp.where(keep, cidx, cap)
+
+    def compact(v, fill=0):
+        out = jnp.full((cap,), fill, v.dtype)
+        return out.at[dst].set(v, mode="drop")
+
+    out = dict(q_sp=compact(q_sp), db_sp=compact(db_sp),
+               length=compact(length), dbseq_id=compact(sid),
+               dbseq_start=compact(local_start),
+               acc_e=compact(acc_e), hyb_e=compact(energy),
+               qb=compact(qb), qab=compact(qab), dbb=compact(dbb),
+               aoff=compact(aoff), coff=compact(coff), pid=compact(pid))
+    return out, jnp.sum(keep.astype(jnp.int32))
+
+
+_expand_jit = jax.jit(_expand_core, static_argnums=(0, 1, 2, 3))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _uwin_jit(d, dropout, wu, n, hits, qbufs, dbufs):
+    from priblast_tpu.search.uwin import ungapped_window
+
+    B = hits["q_sp"].shape[0]
+    act = lax.iota(jnp.int32, B) < n
+    res = ungapped_window(hits["q_sp"], hits["db_sp"], hits["length"],
+                          hits["dbseq_start"], hits["acc_e"].astype(
+                              jnp.float32),
+                          hits["hyb_e"].astype(jnp.float32),
+                          hits["qb"], hits["qab"], hits["dbb"],
+                          hits["aoff"], hits["coff"], qbufs, dbufs,
+                          d, dropout, act, wu=wu)
+    unfin = res.pop("unfinished") & act
+    return res, unfin, jnp.sum(unfin.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _tail_jit(d, dropout, capu, hits, unfin, res, qbufs, dbufs):
+    """Kernel C: re-run the unfinished lanes on the lockstep kernel and
+    scatter the corrected results back into the windowed results."""
+    B = hits["q_sp"].shape[0]
+    cidx = jnp.cumsum(unfin.astype(jnp.int32)) - 1
+    dstu = jnp.where(unfin, cidx, capu)
+    iu = jnp.full((capu,), B - 1, jnp.int32).at[dstu].set(
+        lax.iota(jnp.int32, B), mode="drop")
+    nu = jnp.sum(unfin.astype(jnp.int32))
+    act = lax.iota(jnp.int32, capu) < nu
+
+    def g(k):
+        return hits[k][iu]
+
+    sub = ungapped_core(g("q_sp"), g("db_sp"), g("length"),
+                        g("dbseq_start"), hits["acc_e"][iu].astype(
+                            jnp.float32),
+                        hits["hyb_e"][iu].astype(jnp.float32),
+                        g("qb"), g("qab"), g("dbb"), g("aoff"), g("coff"),
+                        qbufs, dbufs, d, dropout, active0=act)
+    out = dict(res)
+    iw = jnp.where(act, iu, B)
+    for k in sub:
+        out[k] = out[k].at[iw].set(sub[k], mode="drop")
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _thresh_jit(thr, cap, n, res, hits):
+    """Kernel D: interaction-energy threshold + final compaction."""
+    B = res["q_sp"].shape[0]
+    keep = (lax.iota(jnp.int32, B) < n) & (res["energy"]
+                                           <= jnp.float32(thr))
+    cidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dst = jnp.where(keep, cidx, cap)
+
+    def compact(v, fill=0):
+        out = jnp.full((cap,), fill, v.dtype)
+        return out.at[dst].set(v, mode="drop")
+
+    out = {k: compact(res[k]) for k in
+           ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start",
+            "acc_e", "hyb_e", "energy")}
+    out["dbseq_id"] = compact(hits["dbseq_id"])
+    out["pid"] = compact(hits["pid"])
+    return out, jnp.sum(keep.astype(jnp.int32))
+
+
+def _bucket_of(n: int, ladder) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
+
+
+_EXT_LADDER = (16384, 65536, 262144, 524288, 2097152)
+_TAIL_LADDER = (2048, 16384, 262144, 2097152)
+
+
+def _fused_blocks_v2(p, wb, qpack, dbpack, dtype: str, thr32: float):
+    """Single-device v2 block loop; returns list of host SoA parts."""
+    d = p.min_accessible_length
+    dropout = p.drop_out_length_wo_gap
+    exp_args = (wb.cand, wb.cum, wb.energy, qpack.sa, dbpack.sa_j,
+                dbpack.pos_sid, dbpack.pos_start, dbpack.pos_len,
+                dbpack.pos_aoff, dbpack.pos_coff,
+                qpack.acc, qpack.cond_pref_hi, qpack.cond_pref_lo,
+                dbpack.acc, dbpack.cond_pref_hi, dbpack.cond_pref_lo)
+    import os as _os
+    import time as _time
+
+    dbg = _os.environ.get("PRIBLAST_FUSED_TIMINGS")
+    t0 = _time.perf_counter()
+
+    def tick(msg):
+        nonlocal t0
+        if dbg:
+            t1 = _time.perf_counter()
+            print(f"[fused2] {msg:24s} {(t1 - t0) * 1e3:8.1f} ms",
+                  flush=True)
+            t0 = _time.perf_counter()
+
+    parts = []
+    for o in range(0, max(wb.tot, 1), _PAIR_LADDER[-1]):
+        if wb.tot == 0:
+            break
+        ns = min(_PAIR_LADDER[-1], wb.tot - o)
+        B = _bucket(ns)
+        hits = cnt = None
+        for cap in (max(B // 4, 8), B):
+            hits, cnt = _expand_jit(d, dtype, cap, B,
+                                    np.int32(o), np.int32(wb.tot),
+                                    *exp_args)
+            cnt = int(cnt)
+            if cnt <= cap:
+                break
+        tick(f"expand B={B} cnt={cnt}")
+        be = _bucket_of(max(cnt, 1), _EXT_LADDER)
+        hits_b = {k: v[:be] for k, v in hits.items()}
+        res, unfin, n_unfin = _uwin_jit(d, dropout, 16, np.int32(cnt),
+                                        hits_b, qpack.bufs, dbpack.bufs)
+        n_unfin = int(n_unfin)
+        tick(f"uwin be={be} unfin={n_unfin}")
+        if n_unfin:
+            capu = _bucket_of(n_unfin, _TAIL_LADDER)
+            res = _tail_jit(d, dropout, capu, hits_b, unfin, res,
+                            qpack.bufs, dbpack.bufs)
+            tick(f"tail capu={capu}")
+        for capf in (max(be // 4, 8), be):
+            out, nf = _thresh_jit(thr32, capf, np.int32(cnt), res, hits_b)
+            nf = int(nf)
+            if nf <= capf:
+                # defer the (slow) host transfer: start it asynchronously
+                # and materialize after every block's kernels are queued,
+                # so readback overlaps the next block's device work
+                sliced = {k: v[:nf] for k, v in out.items()}
+                for v in sliced.values():
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass
+                parts.append(sliced)
+                break
+        tick(f"thresh nf={nf}")
+    return [{k: np.asarray(v) for k, v in part.items()} for part in parts]
+
+
 # pair-block ladder: each size is one compiled program; `cap` (the
 # compacted output size) starts at B//4 and falls back to B on overflow
-_PAIR_LADDER = (65536, 2097152)
+_PAIR_LADDER = (65536, 524288, 2097152)
 
 _OUT_KEYS = ("q_sp", "db_sp", "q_len", "db_len", "dbseq_id", "dbseq_start",
              "acc_e", "hyb_e", "energy", "pid")
@@ -297,27 +563,20 @@ def fused_stage(p, cands, qpack, dbpack, dtype: str = "float32"):
     thr32 = np.float32(thr)
     if float(thr32) < thr:
         thr32 = np.nextafter(thr32, np.float32(np.inf))
-    statics = (p.min_accessible_length, p.max_seed_length, wb.sbits, dtype,
-               float(thr32),
-               p.drop_out_length_wo_gap)
-    bufs = (wb.cand, wb.cum, wb.energy, qpack.sa, dbpack.sa_j,
-            dbpack.start_pos_j, dbpack.seq_len_j, dbpack.abs_acc_off_j,
-            dbpack.abs_cond_off_j, qpack.bufs, dbpack.bufs)
 
-    parts = []
+    if mesh is None:
+        parts = _fused_blocks_v2(p, wb, qpack, dbpack, dtype, float(thr32))
+    else:
+        statics = (p.min_accessible_length, p.max_seed_length, wb.sbits,
+                   dtype, float(thr32), p.drop_out_length_wo_gap)
+        bufs = (wb.cand, wb.cum, wb.energy, qpack.sa, dbpack.sa_j,
+                dbpack.start_pos_j, dbpack.seq_len_j, dbpack.abs_acc_off_j,
+                dbpack.abs_cond_off_j, qpack.bufs, dbpack.bufs)
+        parts = []
 
-    def run_block(o: int, ns: int) -> None:
-        B = _bucket(ns)
-        for cap in (max(B // 4, 8), B):
-            if mesh is None:
-                out, cnt = _fused_jit(*statics, cap, B,
-                                      np.int32(o), np.int32(wb.tot), *bufs)
-                count = int(cnt)
-                if count <= cap:
-                    parts.append({k: np.asarray(out[k])[:count]
-                                  for k in _OUT_KEYS})
-                    return
-            else:
+        def run_block(o: int, ns: int) -> None:
+            B = _bucket(ns)
+            for cap in (max(B // 4, 8), B):
                 fn = _fused_sharded(mesh, *statics, cap, B)
                 out, cnt = fn(np.int32(o), np.int32(wb.tot), *bufs)
                 cnt = np.asarray(cnt)
@@ -329,12 +588,12 @@ def fused_stage(p, cands, qpack, dbpack, dtype: str = "float32"):
                         [segs[k][i * cl: i * cl + cnt[i]]
                          for i in range(ndev)]) for k in _OUT_KEYS})
                     return
-        raise AssertionError("unreachable: cap == B cannot overflow")
+            raise AssertionError("unreachable: cap == B cannot overflow")
 
-    for o in range(0, max(wb.tot, 1), _PAIR_LADDER[-1]):
-        if wb.tot == 0:
-            break
-        run_block(o, min(_PAIR_LADDER[-1], wb.tot - o))
+        for o in range(0, max(wb.tot, 1), _PAIR_LADDER[-1]):
+            if wb.tot == 0:
+                break
+            run_block(o, min(_PAIR_LADDER[-1], wb.tot - o))
 
     if parts:
         flat = {k: np.concatenate([s[k] for s in parts]) for k in _OUT_KEYS}

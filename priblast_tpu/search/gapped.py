@@ -307,9 +307,19 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
         posc = (coff + id_anchor)[None, :] - x1[:, None]
         incdb = inc3(g1(db_acc, posd, nda), g1(db_acc, posd + 1, nda),
                      g1(db_cond, posc + d, ndc))
-    zero_first = jnp.zeros((1, B), dt)
-    extq = jnp.concatenate([zero_first, jnp.cumsum(incq[1:], axis=0)], 0)
-    extdb = jnp.concatenate([zero_first, jnp.cumsum(incdb[1:], axis=0)], 0)
+    # SEQUENTIAL prefix chaining (reference gapped_extension.cpp:156-212
+    # adds one entry at a time): jnp.cumsum lowers to a tree reduction
+    # whose f32 rounding drifts ~1 ulp from the native engine and flips
+    # near-tie argmins; a lax.scan reproduces the exact chain
+    def seq_prefix(inc):
+        def stp(c, row):
+            c = c + row
+            return c, c
+        _, out = lax.scan(stp, jnp.zeros(B, dt), inc[1:], unroll=8)
+        return jnp.concatenate([jnp.zeros((1, B), dt), out], 0)
+
+    extq = seq_prefix(incq)
+    extdb = seq_prefix(incdb)
 
     # reversed+padded view for the per-diagonal extdb row: row slices of
     # rev(extdb) starting at XW-1-L give vector extdb[L - i] over rows i
@@ -448,9 +458,14 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
     P["ZW"] = lanepad(P["ZW"], 0)
     P["AU0"] = lanepad(P["AU0"], False)
 
+    _PADDED = ("VM", "ZW", "AU0")
+
     def prow(name, L):
+        # lane-padded planes carry PAD leading pad lanes; a current-cell
+        # row read must skip them
+        lane0 = PAD if name in _PADDED else 0
         return lax.dynamic_slice(
-            P[name], (L + OFF, jnp.asarray(0, jnp.int32),
+            P[name], (L + OFF, jnp.asarray(lane0, jnp.int32),
                       jnp.asarray(0, jnp.int32)), (1, W, B))[0]
 
     def pwin(name, L, w=None):
@@ -539,8 +554,7 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
         zw_win = pwin("ZW", L, PW)
         au_f = jnp.where(au0, TAU, jnp.asarray(0, dt))
         base_pk = i_lane * max_ext + L    # i*ME1 + (L - i) = packed (i, j)
-        run_min = jnp.full((W, B), INF, dt)
-        run_pay = jnp.zeros((W, B), jnp.int32)
+        cands = []                        # per-combo (Et, payload)
         z32 = jnp.asarray(0, dt)
 
         def shv(win2d, sh):
@@ -570,9 +584,24 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
             # the pred stored-type bits from the ZW plane
             pay = (shv(zw_win[r], sh)
                    + (base_pk - ((u1 + 1) * ME1 + u2 + 1)))
-            better = Et < run_min
-            run_min = jnp.where(better, Et, run_min)
-            run_pay = jnp.where(better, pay, run_pay)
+            cands.append((Et, pay))
+
+        # tournament reduction with LEFT priority on ties (a <= b keeps
+        # the left candidate), which preserves the stems-list
+        # first-occurrence tie-break while cutting the serial select
+        # chain from C stages to log2(C)
+        while len(cands) > 1:
+            nxt = []
+            for ci2 in range(0, len(cands) - 1, 2):
+                (ea, pa), (eb, pb) = cands[ci2], cands[ci2 + 1]
+                left = ea <= eb
+                nxt.append((jnp.where(left, ea, eb),
+                            jnp.where(left, pa, pb)))
+            if len(cands) % 2:
+                nxt.append(cands[-1])
+            cands = nxt
+        run_min, run_pay = cands[0]
+        run_pay = jnp.where(jnp.isinf(run_min), 0, run_pay)
 
         hyb = run_min
         nopred = jnp.isinf(hyb)

@@ -56,6 +56,24 @@ def _pack_regions(arrays, np_dtype, pad: int = 1, tail: int = 8):
     return flat, bases
 
 
+def _prefix_hilo(arr: np.ndarray):
+    """Exclusive prefix sums of a float32 array as a hi/lo float32 pair.
+
+    C[i] = sum(arr[:i]) computed in f64 on the host, split into
+    hi = f32(C) and lo = f32(C - hi). Windowed sums become
+    (hi[b]-hi[a]) + (lo[b]-lo[a]): nearby hi values differ by a window
+    sum (tiny vs their magnitude), so the hi difference is exact
+    (Sterbenz), and the lo difference restores the bits the hi split
+    dropped — f32-accurate without f64 device arrays (x64 is off on the
+    TPU path). Replaces the reference's per-tap accumulation
+    (src/seed_search.cpp:143-151) with two point reads."""
+    c = np.zeros(len(arr) + 1, np.float64)
+    np.cumsum(arr.astype(np.float64), out=c[1:])
+    hi = c.astype(np.float32)
+    lo = (c - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 class QueryPack:
     """Flat device buffers for a set of queries (encoded + accessibility +
     suffix arrays, for the device seed-expansion stage). With a mesh, the
@@ -72,6 +90,11 @@ class QueryPack:
         self.enc = dist.put_replicated(enc, mesh)
         self.acc = dist.put_replicated(acc, mesh)
         self.cond = dist.put_replicated(cond, mesh)
+        # hi/lo split prefix sums of cond for O(1) window-accessibility
+        # sums on device without f64 (see _prefix_hilo)
+        ph, plo = _prefix_hilo(cond)
+        self.cond_pref_hi = dist.put_replicated(ph, mesh)
+        self.cond_pref_lo = dist.put_replicated(plo, mesh)
         self.sa = None
         if q_sas is not None:
             sa, self.sa_base = _pack_regions(q_sas, np.int32, pad=0)
@@ -126,6 +149,34 @@ class DbPack:
         self.abs_cond_off_j = dist.put_replicated(coff.astype(np.int32),
                                                   mesh)
         self.off_base = aoff_base
+        # dense position->owning-sequence maps (seq-buffer aligned, same
+        # bases as seq_base): replace the per-pair binary search over
+        # start_pos (reference src/seed_search.cpp:101-141) with one
+        # gather per field. ~16 B/nt of db; pagination bounds the resident
+        # size exactly as it bounds the seq buffers themselves.
+        pm_sid, pm_start, pm_len, pm_ao, pm_co = [], [], [], [], []
+        for ci, c in enumerate(chunks):
+            sid = np.searchsorted(c.start_pos, np.arange(len(c.seqs)),
+                                  side="right").astype(np.int32) - 1
+            sid = np.clip(sid, 0, c.n_seqs - 1)
+            pm_sid.append(sid)
+            pm_start.append(c.start_pos[sid])
+            pm_len.append(c.seq_sizes[sid])
+            pm_ao.append(self.abs_acc_off[ci][sid].astype(np.int32))
+            pm_co.append(self.abs_cond_off[ci][sid].astype(np.int32))
+        self.pos_sid = dist.put_replicated(_pack_regions(pm_sid,
+                                                         np.int32)[0], mesh)
+        self.pos_start = dist.put_replicated(
+            _pack_regions(pm_start, np.int32)[0], mesh)
+        self.pos_len = dist.put_replicated(_pack_regions(pm_len,
+                                                         np.int32)[0], mesh)
+        self.pos_aoff = dist.put_replicated(_pack_regions(pm_ao,
+                                                          np.int32)[0], mesh)
+        self.pos_coff = dist.put_replicated(_pack_regions(pm_co,
+                                                          np.int32)[0], mesh)
+        ph, plo = _prefix_hilo(cond)
+        self.cond_pref_hi = dist.put_replicated(ph, mesh)
+        self.cond_pref_lo = dist.put_replicated(plo, mesh)
 
     @property
     def bufs(self):
@@ -209,7 +260,7 @@ def _hit_bases(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
 # caps chosen to fit v5e HBM: the gapped DP holds [B, diag, lane] state
 # plus [B, combos~153, lane] per-step tensors, so its cap stays at 4096
 _UNGAPPED_LADDER = (2048, 16384, 65536)
-_GAPPED_LADDER = (1024, 4096)
+_GAPPED_LADDER = (2048, 16384)
 
 
 def _bucket(n: int, ladder) -> int:
