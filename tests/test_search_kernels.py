@@ -219,3 +219,20 @@ def test_device_pipeline_overflow_fallback(staged):
         np.testing.assert_allclose(out["energy"], full["energy"], atol=3e-4)
         checked += len(full["q_sp"])
     assert checked > 0
+
+
+def test_fused_wave_autosplit(staged, monkeypatch):
+    """A tiny forced pair-wave limit must split the wave (including single
+    candidates bigger than a whole sub-wave) and still produce the exact
+    unsplit hit stream — no reachable int32 AssertionError."""
+    from priblast_tpu.search import fused, seed
+
+    chunks, p, queries, qpack, dbpack, _pres, _posts = staged
+    cands = seed.seed_candidates(p, chunks, queries)
+    base = fused.fused_stage(p, cands, qpack, dbpack, dtype="float64")
+    monkeypatch.setenv("PRIBLAST_PAIR_WAVE_LIMIT", "5000")
+    split = fused.fused_stage(p, cands, qpack, dbpack, dtype="float64")
+    assert split.groups == base.groups
+    for k in base.soa:
+        assert np.array_equal(np.asarray(split.soa[k]),
+                              np.asarray(base.soa[k])), k

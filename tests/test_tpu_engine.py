@@ -33,22 +33,6 @@ def test_batched_matches_exact(tiny_batch, dtype, tol):
         assert np.abs(cond[i, : len(s)] - rc).max() < tol
 
 
-@pytest.mark.slow
-def test_pallas_kernels_match_exact(tiny_batch, monkeypatch):
-    """The fused Pallas scan kernels (interpret mode on CPU) must agree
-    with the exact engine like the XLA scan path does."""
-    from priblast_tpu.accessibility.batched import BatchedRaccess
-
-    monkeypatch.setenv("PRIBLAST_PALLAS_INTERPRET", "1")
-    seqs, codes, lens, exact = tiny_batch
-    acc, cond = BatchedRaccess(70, 5, dtype="float32",
-                               use_pallas=True).run(codes, lens)
-    for i, s in enumerate(seqs):
-        ra, rc = exact[i]
-        assert np.abs(acc[i, : len(s)] - ra).max() < 2e-3
-        assert np.abs(cond[i, : len(s)] - rc).max() < 2e-3
-
-
 def test_linear_ref_matches_exact(data_dir):
     from priblast_tpu.accessibility.linear_ref import LinearRaccess
 
