@@ -4,7 +4,7 @@
 PY ?= python
 SMOKE_TMP ?= /tmp/priblast_smoke
 
-.PHONY: test smoke bench clean
+.PHONY: test smoke bench prewarm clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -30,6 +30,12 @@ smoke:
 
 bench:
 	$(PY) bench.py
+
+# populate the persistent XLA compile cache with the production shape
+# ladder (accessibility buckets + search kernels); first-contact runs then
+# show no compile component
+prewarm:
+	$(PY) tools/prewarm.py --max-n 5120 --search
 
 clean:
 	rm -rf $(SMOKE_TMP) build __pycache__

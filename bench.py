@@ -68,7 +68,8 @@ class Bench:
             "value": None,
             "unit": "queries/s",
             "vs_baseline": None,
-            "workload": f"{N_Q}x{Q_LEN}nt queries vs {N_DB}x{DB_LEN}nt db",
+            "workload": (f"{N_Q}x{Q_LEN}nt queries vs {N_DB}x{DB_LEN}nt db, "
+                         "dinucleotide-matched GENCODE-like (GC~0.47, CpG~0.35)"),
             "ref_host_qps": None,
             "ref_host_cores": os.cpu_count() or 1,
             "vs_cluster_est": None,
@@ -113,16 +114,27 @@ def write_fasta(path: Path, seqs) -> int:
 
 
 def make_workload(tmp: Path):
-    rng = random.Random(123)
+    """Dinucleotide-frequency-matched GENCODE-like sequences (human
+    transcript composition: ~47% GC, CpG odds ~0.35; tools/seqgen.py) —
+    uniform-random ACGU is hit-dense to the point of distorting every
+    stage ratio (round-3 VERDICT missing #2). The workload tag below
+    records the composition so BENCH_r* lines are comparable."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import numpy as np
+    from seqgen import markov_batch
 
-    def seq(n):
-        n += rng.randint(-n // 25, n // 25)
-        return "".join(rng.choice("ACGU") for _ in range(n))
-
+    rng0 = random.Random(123)
+    nrng = np.random.default_rng(123)
+    db_lens = [DB_LEN + rng0.randint(-DB_LEN // 25, DB_LEN // 25)
+               for _ in range(N_DB)]
+    q_lens = [Q_LEN + rng0.randint(-Q_LEN // 25, Q_LEN // 25)
+              for _ in range(N_Q)]
+    db_seqs = [s.tobytes().decode() for s in markov_batch(nrng, db_lens)]
+    q_seqs = [s.tobytes().decode() for s in markov_batch(nrng, q_lens)]
     db_nt = write_fasta(tmp / "db.fa",
-                        [(f"t{i}", seq(DB_LEN)) for i in range(N_DB)])
+                        [(f"t{i}", s) for i, s in enumerate(db_seqs)])
     q_nt = write_fasta(tmp / "q.fa",
-                       [(f"q{i}", seq(Q_LEN)) for i in range(N_Q)])
+                       [(f"q{i}", s) for i, s in enumerate(q_seqs)])
     return db_nt, q_nt
 
 
