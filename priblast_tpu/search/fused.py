@@ -161,17 +161,6 @@ def _core(d: int, max_len: int, sbits: int, dtype_name: str, thr: float,
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
-def _fused_jit(d, max_len, sbits, dtype_name, thr, dropout, cap, B,
-               o, n_pairs, cand, cum, energy_c,
-               q_sa, db_sa, start_pos, seq_len, abs_aoff, abs_coff,
-               qbufs, dbufs):
-    return _core(d, max_len, sbits, dtype_name, thr, dropout, cap,
-                 o, n_pairs, cand, cum, energy_c,
-                 q_sa, db_sa, start_pos, seq_len, abs_aoff, abs_coff,
-                 qbufs, dbufs, B)
-
-
 @functools.lru_cache(maxsize=32)
 def _fused_sharded(mesh, d, max_len, sbits, dtype_name, thr, dropout,
                    cap, B):
