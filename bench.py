@@ -152,7 +152,12 @@ def build_reference() -> Path | None:
     out.parent.mkdir(parents=True, exist_ok=True)
     src = Path("/root/reference/src")
     if not src.exists():
-        return out if out.exists() else None
+        # no source to rebuild from: a cached binary is only trustworthy if
+        # its flags stamp matches (else vs_baseline would silently compare
+        # against a stale-flags build — the case the stamp exists to catch)
+        log("[bench] reference src missing and no matching cached binary; "
+            "baseline unavailable")
+        return None
     try:
         # the reference's own release flags (reference Makefile:6) — the
         # honest baseline; goldens are generated separately at -O2 where

@@ -59,7 +59,7 @@ def device_extend_mode() -> str:
 HOST_PAIR_RATE = float(os.environ.get("PRIBLAST_HOST_PAIR_RATE", 500e3))
 DEV_PAIR_RATE = float(os.environ.get("PRIBLAST_DEV_PAIR_RATE", 300e3))
 DEV_HIT_RATE = float(os.environ.get("PRIBLAST_DEV_HIT_RATE", 21e3))
-HIT_DENSITY = 0.10
+HIT_DENSITY = float(os.environ.get("PRIBLAST_HIT_DENSITY", 0.10))
 DEV_DISPATCH_S = float(os.environ.get("PRIBLAST_DEV_DISPATCH_S", 0.15))
 
 

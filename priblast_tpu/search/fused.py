@@ -398,8 +398,23 @@ def _bucket_of(n: int, ladder) -> int:
     return ladder[-1]
 
 
-_EXT_LADDER = (16384, 65536, 262144, 524288, 2097152)
-_TAIL_LADDER = (2048, 16384, 262144, 2097152)
+# pair-block ladder: each size is one compiled program; `cap` (the
+# compacted output size) starts at B//4 and falls back to B on overflow.
+# The top size is derived from device memory (~150 B/lane of live f32/i32
+# vectors through expansion + compaction).
+from priblast_tpu.utils import devmem as _devmem
+
+_PAIR_LADDER = (65536, 524288,
+                _devmem.ladder_cap(150, 0.02, 1 << 21, 1 << 23))
+
+# survivor ladders for the uwin/tail stages. The acc-filter survivor count
+# can reach the full pair block B <= _PAIR_LADDER[-1], so the top rung MUST
+# cover it exactly — `hits_b = {k: v[:be]}` below would otherwise silently
+# drop survivors beyond the rung (round-4 advisor finding).
+_EXT_LADDER = tuple(b for b in (16384, 65536, 262144, 524288, 2097152)
+                    if b < _PAIR_LADDER[-1]) + (_PAIR_LADDER[-1],)
+_TAIL_LADDER = tuple(b for b in (2048, 16384, 262144)
+                     if b < _EXT_LADDER[-1]) + (_EXT_LADDER[-1],)
 
 
 def _fused_blocks_v2(p, wb, qpack, dbpack, dtype: str, thr32: float):
@@ -469,15 +484,6 @@ def _fused_blocks_v2(p, wb, qpack, dbpack, dtype: str, thr32: float):
         tick(f"thresh nf={nf}")
     return [{k: np.asarray(v) for k, v in part.items()} for part in parts]
 
-
-# pair-block ladder: each size is one compiled program; `cap` (the
-# compacted output size) starts at B//4 and falls back to B on overflow.
-# The top size is derived from device memory (~150 B/lane of live f32/i32
-# vectors through expansion + compaction).
-from priblast_tpu.utils import devmem as _devmem
-
-_PAIR_LADDER = (65536, 524288,
-                _devmem.ladder_cap(150, 0.02, 1 << 21, 1 << 23))
 
 _OUT_KEYS = ("q_sp", "db_sp", "q_len", "db_len", "dbseq_id", "dbseq_start",
              "acc_e", "hyb_e", "energy", "pid")

@@ -249,7 +249,10 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
     lists (tb_i/tb_j, in reference push order, 0-terminated), and an
     `overflow` flag for hits that were still active at max_ext.
     """
-    assert max_ext <= 120, "packed predecessor coords need 14 bits"
+    if max_ext > 120:  # survives python -O (a bare assert would not)
+        raise ValueError(
+            f"max_ext={max_ext} > 120: packed predecessor coords need 14 "
+            f"bits (ZW payload bits 16384/32768 would be corrupted)")
     dt = jnp.float64 if dtype == "float64" else jnp.float32
     r_np = _tables_np()
     pt_tab = _plane_tables(flag)
