@@ -26,6 +26,7 @@ W <= 80); pass dtype=float64 on CPU for ~1e-9 agreement with linear_ref.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -245,6 +246,122 @@ def _packed_take(tab_flat: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take(tab_flat, idx, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Banded char-window table lookups as one-hot MXU contractions.
+#
+# Round-5 profile (tools/access_trace.py, v5e chip, B=128 N=1024): the seven
+# _packed_take gathers in make_grids plus the six in make_outside_grids were
+# ~950 ms of the 1463 ms engine — each is a 9.4M-element irregular gather
+# running at the chip's ~120 M elem/s scalar-gather rate. But every gathered
+# grid value is a function of ONLY the char window around i = j - d and the
+# char window around j:  G[j, b, d] = TT[ki(b, j-d), kj(b, j)]  with
+# ki/kj in 5^m (m <= 4, so K <= 625). That makes the banded gather a banded
+# BILINEAR form over one-hot keys, which the MXU evaluates directly:
+#
+#   M = OH_i @ TT          (or OH_j @ TT^T, whichever leaves the smaller K)
+#   P = M_blk @ OH_blk^T   (j-blocked batched matmul, [B, CI, CJ])
+#   G = 72-diagonal band of P, extracted with the pad+reshape skew
+#
+# One-hot rows select exactly one f32 table entry, so with
+# precision='highest' (exact f32 MXU passes) the result is BIT-EXACT equal
+# to the gather. ~200 GFLOP of matmul at MXU rates + ~3 GB of streaming
+# replace ~950 ms of serial gathers.
+# ---------------------------------------------------------------------------
+
+_BIL_CJ = 128   # j-block width of the banded bilinear product
+
+
+def _use_bilinear(dtype) -> bool:
+    """Bilinear lookups pay off on the MXU; on the CPU backend (tests,
+    f64 validation) the plain gathers are both faster and required for the
+    f64 path (whose sig-postfactor multiplies run in f64, while the
+    bilinear folds f32 postfactors into the table)."""
+    v = os.environ.get("PRIBLAST_BILINEAR_TABLES", "auto").lower()
+    if v in ("0", "false", "never"):
+        return False
+    if v in ("1", "true", "always"):
+        return True
+    import jax as _jax
+
+    return dtype == jnp.float32 and _jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=4)
+def _char_mesh(n_i: int, n_j: int):
+    """np char meshes for a [5^n_i, 5^n_j] TT table: returns (CI, CJ)
+    lists where CI[m][ki, kj] = m-th i-side char of key ki (minor-first
+    packing: ki = sum_m char_m * 5**m), broadcast against kj."""
+    ci = [((np.arange(5 ** n_i) // 5 ** m) % 5)[:, None]
+          for m in range(n_i)]
+    cj = [((np.arange(5 ** n_j) // 5 ** m) % 5)[None, :]
+          for m in range(n_j)]
+    return ci, cj
+
+
+def _bilinear_band_grids(s: jax.Array, n_max: int, band: int, specs):
+    """specs: list of (TT [Ki, Kj] float32 np.ndarray, i_offs, j_offs)
+    with ki(i) = sum_m s[i + i_offs[m]] * 5**m and kj(j) likewise.
+    Returns a list of [N+1, B, band] f32 grids
+      G[j, b, d] = TT[ki(j - d), kj(j)]
+    (out-of-range char reads are 0 = the pad/unknown code, matching
+    _seq_diag/_seq_col zero-fill semantics). Bit-exact vs the equivalent
+    _packed_take."""
+    B = s.shape[0]
+    P0 = band + 8
+    NJ = n_max + 1
+    CJ = _BIL_CJ
+    njb = -(-NJ // CJ)
+    NJp = njb * CJ
+    CI = CJ + band - 1
+    NI = NJp + band - 1          # ext rows t = i + band - 1, i >= 2 - band
+    pad_r = max(0, NJp + band + 8 - s.shape[1])
+    spad = jnp.pad(s, ((0, 0), (P0, pad_r)))
+
+    def keys(offs, base, n):
+        acc = None
+        for m, off in enumerate(offs):
+            col = lax.dynamic_slice(spad, (0, P0 + base + off), (B, n))
+            term = col * (5 ** m)
+            acc = term if acc is None else acc + term
+        return acc
+
+    oh_cache: dict = {}
+
+    def onehot(side, offs, K):
+        ck = (side, offs, K)
+        if ck not in oh_cache:
+            k = keys(offs, (1 - band) if side == "i" else 0,
+                     NI if side == "i" else NJp)
+            oh_cache[ck] = (k[..., None] == jnp.arange(K, dtype=k.dtype)
+                            ).astype(jnp.float32)
+        return oh_cache[ck]
+
+    outs = []
+    for TT, i_offs, j_offs in specs:
+        Ki, Kj = TT.shape
+        OHI = onehot("i", tuple(i_offs), Ki)
+        OHJ = onehot("j", tuple(j_offs), Kj)
+        TTj = jnp.asarray(np.asarray(TT, np.float32))
+        if Ki >= Kj:     # contract the i side first; M carries the small K
+            M = jnp.einsum("btk,kq->btq", OHI, TTj, precision="highest")
+            lhs, rhs, sub = M, OHJ, "biq,bjq->bij"
+        else:
+            M = jnp.einsum("btq,kq->btk", OHJ, TTj, precision="highest")
+            lhs, rhs, sub = OHI, M, "bik,bjk->bij"
+        blocks = []
+        for jb in range(njb):
+            jlo = jb * CJ
+            P = jnp.einsum(sub,
+                           lax.dynamic_slice_in_dim(lhs, jlo, CI, 1),
+                           lax.dynamic_slice_in_dim(rhs, jlo, CJ, 1),
+                           precision="highest")       # [B, CI, CJ]
+            Y = jnp.transpose(P, (0, 2, 1))           # [B, CJ, CI]
+            Z = _skew_rev(Y)[:, :, :band]             # Z[b,j',e]=P[b,e+j',j']
+            blocks.append(jnp.transpose(Z[:, :, ::-1], (1, 0, 2)))
+        outs.append(jnp.concatenate(blocks, axis=0)[:NJ])
+    return outs
+
+
 def _gather_s(s: jax.Array, idx: jax.Array) -> jax.Array:
     """s: [B, L] padded codes (s[:,0]=0); idx: [N+1, band] (may be out of
     range — clamped; pads are 0 = unknown)."""
@@ -307,10 +424,55 @@ def make_grids(t: Tables, s: jax.Array, lengths: jax.Array, n_max: int,
     W_au7 = np.asarray(lm.W_au)
     stackW = _lut2(lm.W_stack, ohT1, ohT2r).astype(dtype)
     t1_nz = T1_i != 0
-    # mismatchI[rtype(T1)][s[j+1]][s[i]] (packed single gather)
-    mi_flat = jnp.asarray(np.asarray(lm.W_mism_i, np.float32).reshape(-1))
-    mism_in = _packed_take(
-        mi_flat, (T1r_i * 5 + s_jp1) * 5 + s_i).astype(dtype)
+
+    use_bil = _use_bilinear(dtype)
+    mi_np = np.asarray(lm.W_mism_i, np.float32).reshape(-1)
+    mh_np = np.asarray(lm.W_mism_h, np.float32).reshape(-1)
+    i11n = np.asarray(lm.W_int11, np.float32).reshape(-1)
+    i21n = np.asarray(lm.W_int21, np.float32).reshape(-1)
+    i22n = np.asarray(lm.W_int22, np.float32).reshape(-1)
+    sgf = lambda k: np.float32(np.exp(-k * lm.lsig))
+    if use_bil:
+        # the seven banded table lookups as bilinear one-hot contractions
+        # (bit-exact vs the takes; see _bilinear_band_grids)
+        bp2, rt2 = bp_np, rtbp_np
+        # char meshes per (Ki, Kj) domain; i-side offsets pack minor-first
+        (b0, b1), (d0, d1) = _char_mesh(2, 2)            # i:(s_i,s_i1) j:(s_j,s_jp1)
+        (e0, e1, e2), (f0, f1, f2) = _char_mesh(3, 3)    # i:(0,1,2) j:(-1,0,1)
+        (g0, g1, g2), _ = _char_mesh(3, 4)
+        _, (h0, h1, h2, h3) = _char_mesh(3, 4)           # j:(-2,-1,0,1)
+        (k0, k1, k2, k3), (l0, l1, l2) = _char_mesh(4, 3)
+
+        specs = [
+            # mism_in: mi[rt(bp(s_i1, s_j)), s_jp1, s_i]
+            (mi_np[(rt2[b1, d0] * 5 + d1) * 5 + b0], (0, 1), (0, 1)),
+            # hp_mism: mh[bp(s_i, s_jp1), s_i1, s_j]
+            (mh_np[(bp2[b0, d1] * 5 + b1) * 5 + d0], (0, 1), (0, 1)),
+            # mism_out: mi[bp(s_i, s_jp1), s_i1, s_j]
+            (mi_np[(bp2[b0, d1] * 5 + b1) * 5 + d0], (0, 1), (0, 1)),
+            # sp11: i11[TC, rt(bp(s_i2, s_jm1)), s_i1, s_j] * sig(2)
+            (i11n[((bp2[e0, f2] * 8 + rt2[e2, f0]) * 5 + e1) * 5 + f1]
+             * sgf(2), (0, 1, 2), (-1, 0, 1)),
+            # sp12: i21[TC, rt(bp(s_i2, s_jm2)), s_i1, s_jm1, s_j] * sig(3)
+            (i21n[(((bp2[g0, h3] * 8 + rt2[g2, h0]) * 5 + g1) * 5 + h1)
+                  * 5 + h2] * sgf(3), (0, 1, 2), (-2, -1, 0, 1)),
+            # sp21: i21[rt(bp(s_i3, s_jm1)), TC, s_j, s_i1, s_i2] * sig(3)
+            (i21n[(((rt2[k3, l0] * 8 + bp2[k0, l2]) * 5 + l1) * 5 + k1)
+                  * 5 + k2] * sgf(3), (0, 1, 2, 3), (-1, 0, 1)),
+            # sp22: i22[TC, rt(bp(s_i3, s_jm2)), s_i1, s_i2, s_jm1, s_j]
+            (i22n[((((bp2[k0, h3] * 8 + rt2[k3, h0]) * 5 + k1) * 5 + k2)
+                   * 5 + h1) * 5 + h2] * sgf(4), (0, 1, 2, 3),
+             (-2, -1, 0, 1)),
+        ]
+        (mism_in, hp_mism, mism_out, sp11, sp12, sp21, sp22) = [
+            v.astype(dtype) for v in
+            _bilinear_band_grids(s, n_max, band, specs)]
+
+    mi_flat = jnp.asarray(mi_np)
+    if not use_bil:
+        # mismatchI[rtype(T1)][s[j+1]][s[i]] (packed single gather)
+        mism_in = _packed_take(
+            mi_flat, (T1r_i * 5 + s_jp1) * 5 + s_i).astype(dtype)
     au_in = lut1(W_au7, ohT1r).astype(dtype)
 
     # dangle for pair (i+1, j) on (i, j)
@@ -324,8 +486,9 @@ def make_grids(t: Tables, s: jax.Array, lengths: jax.Array, n_max: int,
     hp_len = np.asarray(lm.W_hairpin_len)[np.clip(np.arange(band), 0,
                                                   len(lm.W_hairpin_len) - 1)]
     inv_sig = np.asarray(lm.inv_sig_pow)[: band]
-    mh_flat = jnp.asarray(np.asarray(lm.W_mism_h, np.float32).reshape(-1))
-    hp_mism = _packed_take(mh_flat, (TC_i * 5 + s_i1) * 5 + s_j)
+    if not use_bil:
+        mh_flat = jnp.asarray(mh_np)
+        hp_mism = _packed_take(mh_flat, (TC_i * 5 + s_i1) * 5 + s_j)
     tc_gt2 = jnp.sum(ohTC[..., 3:], axis=-1)
     hp_au = jnp.where(tc_gt2 > 0.5, lut1(W_au7, ohTC), 1.0)
     d_is3 = jnp.asarray((np.arange(band) == 3))[None, None, :]
@@ -333,8 +496,9 @@ def make_grids(t: Tables, s: jax.Array, lengths: jax.Array, n_max: int,
     hpW = (hpW * jnp.asarray((hp_len * inv_sig).astype(np.float32))
            [None, None, :]).astype(dtype)
 
-    mism_out = _packed_take(
-        mi_flat, (TC_i * 5 + s_i1) * 5 + s_j).astype(dtype)
+    if not use_bil:
+        mism_out = _packed_take(
+            mi_flat, (TC_i * 5 + s_i1) * 5 + s_j).astype(dtype)
     au_out = lut1(W_au7, ohTC).astype(dtype)
     mlclose = (float(lm.W_mlc * lm.W_mli) *
                _lut2(lm.W_dangle3[:7], ohTCr, oh_i1) *
@@ -347,24 +511,26 @@ def make_grids(t: Tables, s: jax.Array, lengths: jax.Array, n_max: int,
     sp10 = (b1 * _lut2(lm.W_stack, ohTC, ohX10) * sig(1)).astype(dtype)
     sp01 = (b1 * _lut2(lm.W_stack, ohTC, ohX01) * sig(1)).astype(dtype)
 
-    # deep int-loop tables: packed single gathers
-    i11 = jnp.asarray(np.asarray(lm.W_int11, np.float32).reshape(-1))
-    i21 = jnp.asarray(np.asarray(lm.W_int21, np.float32).reshape(-1))
-    i22 = jnp.asarray(np.asarray(lm.W_int22, np.float32).reshape(-1))
-    t12r = toint(_pair_onehot(oh_i2, _onehot5(s_jm2), rtbp_np, 7))
-    t21r = toint(_pair_onehot(_onehot5(s_i3), oh_jm1, rtbp_np, 7))
-    t22r = toint(_pair_onehot(_onehot5(s_i3), _onehot5(s_jm2), rtbp_np, 7))
-    sp11 = (_packed_take(i11, ((TC_i * 8 + T2r_i) * 5 + s_i1) * 5 + s_j)
-            * sig(2)).astype(dtype)
-    sp12 = (_packed_take(
-        i21, (((TC_i * 8 + t12r) * 5 + s_i1) * 5 + s_jm1) * 5 + s_j)
-        * sig(3)).astype(dtype)
-    sp21 = (_packed_take(
-        i21, (((t21r * 8 + TC_i) * 5 + s_j) * 5 + s_i1) * 5 + s_i2)
-        * sig(3)).astype(dtype)
-    sp22 = (_packed_take(
-        i22, ((((TC_i * 8 + t22r) * 5 + s_i1) * 5 + s_i2) * 5 + s_jm1) * 5
-        + s_j) * sig(4)).astype(dtype)
+    # deep int-loop tables: packed single gathers (bilinear path computed
+    # them above as one-hot MXU contractions)
+    if not use_bil:
+        i11 = jnp.asarray(i11n)
+        i21 = jnp.asarray(i21n)
+        i22 = jnp.asarray(i22n)
+        t12r = toint(_pair_onehot(oh_i2, _onehot5(s_jm2), rtbp_np, 7))
+        t21r = toint(_pair_onehot(_onehot5(s_i3), oh_jm1, rtbp_np, 7))
+        t22r = toint(_pair_onehot(_onehot5(s_i3), _onehot5(s_jm2), rtbp_np, 7))
+        sp11 = (_packed_take(i11, ((TC_i * 8 + T2r_i) * 5 + s_i1) * 5 + s_j)
+                * sig(2)).astype(dtype)
+        sp12 = (_packed_take(
+            i21, (((TC_i * 8 + t12r) * 5 + s_i1) * 5 + s_jm1) * 5 + s_j)
+            * sig(3)).astype(dtype)
+        sp21 = (_packed_take(
+            i21, (((t21r * 8 + TC_i) * 5 + s_j) * 5 + s_i1) * 5 + s_i2)
+            * sig(3)).astype(dtype)
+        sp22 = (_packed_take(
+            i22, ((((TC_i * 8 + t22r) * 5 + s_i1) * 5 + s_i2) * 5 + s_jm1)
+            * 5 + s_j) * sig(4)).astype(dtype)
 
     validC = (TC_i != 0) & (jjb != nb)
     sigp = jnp.asarray(np.asarray(lm.sig_pow[: band], np.float32))
@@ -631,11 +797,65 @@ def make_outside_grids(t: Tables, s: jax.Array, lengths: jax.Array,
     seed = jnp.where(pvb >= 0, seed, 0.0)
 
     W_au7 = np.asarray(lm.W_au)
-    mi_flat = jnp.asarray(np.asarray(lm.W_mism_i, np.float32).reshape(-1))
+    mi_np = np.asarray(lm.W_mism_i, np.float32).reshape(-1)
+    i11n = np.asarray(lm.W_int11, np.float32).reshape(-1)
+    i21n = np.asarray(lm.W_int21, np.float32).reshape(-1)
+    i22n = np.asarray(lm.W_int22, np.float32).reshape(-1)
+    sgf = lambda k: np.float32(np.exp(-k * lm.lsig))
+    use_bil = _use_bilinear(dtype)
+    if use_bil:
+        # the six banded table lookups as bilinear one-hot contractions
+        # (bit-exact vs the takes; masks/sig postfactors folded into TT)
+        bp2, rt2 = bp_np, rtbp_np
+        (b0, b1), (d0, d1) = _char_mesh(2, 2)          # i:(0,1) j:(0,1)
+        (e0, e1, e2), (f0, f1, f2) = _char_mesh(3, 3)  # i:(-1,0,1) j:(0,1,2)
+        (g0, g1, g2), _ = _char_mesh(3, 4)
+        _, (h0, h1, h2, h3) = _char_mesh(3, 4)         # j:(0,1,2,3)
+        (k0, k1, k2, k3), (l0, l1, l2) = _char_mesh(4, 3)  # i:(-2,-1,0,1)
+
+        def msk(cond, v):
+            return np.where(cond != 0, v, np.float32(0.0))
+
+        specs = [
+            # bse_mism_w: [TC!=0] mi[TC, s_p1, s_q], TC = bp(s_p, s_q1)
+            (msk(bp2[b0, d1], mi_np[(bp2[b0, d1] * 5 + b1) * 5 + d0]),
+             (0, 1), (0, 1)),
+            # mism_out2: mi[rt(bp(s_p1, s_q)), s_q1, s_p]
+            (mi_np[(rt2[b1, d0] * 5 + d1) * 5 + b0], (0, 1), (0, 1)),
+            # spo11: [tc11!=0] i11[tc11, T2r, s_p, s_q1]*sig(2),
+            #   tc11 = bp(s_pm1, s_q2), T2r = rt(bp(s_p1, s_q))
+            (msk(bp2[e0, f2], i11n[((bp2[e0, f2] * 8 + rt2[e2, f0]) * 5
+                                    + e1) * 5 + f1] * sgf(2)),
+             (-1, 0, 1), (0, 1, 2)),
+            # spo12: [tc12!=0] i21[tc12, T2r, s_p, s_q1, s_q2]*sig(3),
+            #   tc12 = bp(s_pm1, s_q3)
+            (msk(bp2[g0, h3], i21n[(((bp2[g0, h3] * 8 + rt2[g2, h0]) * 5
+                                     + g1) * 5 + h1) * 5 + h2] * sgf(3)),
+             (-1, 0, 1), (0, 1, 2, 3)),
+            # spo21: [tc21!=0] i21[T2r, tc21, s_q1, s_pm1, s_p]*sig(3),
+            #   tc21 = bp(s_pm2, s_q2)
+            (msk(bp2[k0, l2], i21n[(((rt2[k3, l0] * 8 + bp2[k0, l2]) * 5
+                                     + l1) * 5 + k1) * 5 + k2] * sgf(3)),
+             (-2, -1, 0, 1), (0, 1, 2)),
+            # spo22: [tc22!=0] i22[tc22, T2r, s_pm1, s_p, s_q1, s_q2]*sig(4),
+            #   tc22 = bp(s_pm2, s_q3)
+            (msk(bp2[k0, h3], i22n[((((bp2[k0, h3] * 8 + rt2[k3, h0]) * 5
+                                      + k1) * 5 + k2) * 5 + h1) * 5 + h2]
+                 * sgf(4)),
+             (-2, -1, 0, 1), (0, 1, 2, 3)),
+        ]
+        (bse_mism_w_b, mism_out2_b, spo11, spo12, spo21, spo22) = [
+            v.astype(dtype) for v in
+            _bilinear_band_grids(s, n_max, band, specs)]
+
+    mi_flat = jnp.asarray(mi_np)
     cmask = TC_i != 0
-    bse_mism_w = jnp.where(
-        cmask, _packed_take(mi_flat, (TC_i * 5 + s_p1) * 5 + s_q),
-        0.0).astype(dtype)
+    if use_bil:
+        bse_mism_w = bse_mism_w_b
+    else:
+        bse_mism_w = jnp.where(
+            cmask, _packed_take(mi_flat, (TC_i * 5 + s_p1) * 5 + s_q),
+            0.0).astype(dtype)
     bse_au_w = jnp.where(cmask, lut1(W_au7, ohTC), 0.0).astype(dtype)
 
     mlclose_o = (float(lm.W_mlc * lm.W_mli) *
@@ -653,28 +873,29 @@ def make_outside_grids(t: Tables, s: jax.Array, lengths: jax.Array,
 
     oh10 = ct_oh(1, 0)
     oh01 = ct_oh(0, 1)
-    tc11 = toint(ct_oh(1, 1))
-    tc12 = toint(ct_oh(1, 2))
-    tc21 = toint(ct_oh(2, 1))
-    tc22 = toint(ct_oh(2, 2))
-
-    i11 = jnp.asarray(np.asarray(lm.W_int11, np.float32).reshape(-1))
-    i21 = jnp.asarray(np.asarray(lm.W_int21, np.float32).reshape(-1))
-    i22 = jnp.asarray(np.asarray(lm.W_int22, np.float32).reshape(-1))
     spo10 = (b1 * _lut2(lm.W_stack, oh10, ohT2r) * sig(1)).astype(dtype)
     spo01 = (b1 * _lut2(lm.W_stack, oh01, ohT2r) * sig(1)).astype(dtype)
-    spo11 = jnp.where(tc11 != 0, _packed_take(
-        i11, ((tc11 * 8 + T2r_i) * 5 + s_p) * 5 + s_q1) * sig(2),
-        0.0).astype(dtype)
-    spo12 = jnp.where(tc12 != 0, _packed_take(
-        i21, (((tc12 * 8 + T2r_i) * 5 + s_p) * 5 + s_q1) * 5 + s_q2) * sig(3),
-        0.0).astype(dtype)
-    spo21 = jnp.where(tc21 != 0, _packed_take(
-        i21, (((T2r_i * 8 + tc21) * 5 + s_q1) * 5 + s_pm1) * 5 + s_p) * sig(3),
-        0.0).astype(dtype)
-    spo22 = jnp.where(tc22 != 0, _packed_take(
-        i22, ((((tc22 * 8 + T2r_i) * 5 + s_pm1) * 5 + s_p) * 5 + s_q1) * 5
-        + s_q2) * sig(4), 0.0).astype(dtype)
+    if not use_bil:
+        tc11 = toint(ct_oh(1, 1))
+        tc12 = toint(ct_oh(1, 2))
+        tc21 = toint(ct_oh(2, 1))
+        tc22 = toint(ct_oh(2, 2))
+
+        i11 = jnp.asarray(i11n)
+        i21 = jnp.asarray(i21n)
+        i22 = jnp.asarray(i22n)
+        spo11 = jnp.where(tc11 != 0, _packed_take(
+            i11, ((tc11 * 8 + T2r_i) * 5 + s_p) * 5 + s_q1) * sig(2),
+            0.0).astype(dtype)
+        spo12 = jnp.where(tc12 != 0, _packed_take(
+            i21, (((tc12 * 8 + T2r_i) * 5 + s_p) * 5 + s_q1) * 5 + s_q2)
+            * sig(3), 0.0).astype(dtype)
+        spo21 = jnp.where(tc21 != 0, _packed_take(
+            i21, (((T2r_i * 8 + tc21) * 5 + s_q1) * 5 + s_pm1) * 5 + s_p)
+            * sig(3), 0.0).astype(dtype)
+        spo22 = jnp.where(tc22 != 0, _packed_take(
+            i22, ((((tc22 * 8 + T2r_i) * 5 + s_pm1) * 5 + s_p) * 5 + s_q1)
+            * 5 + s_q2) * sig(4), 0.0).astype(dtype)
 
     tcont_nz = jnp.sum(ohTC[..., 1:], axis=-1) > 0.5
     contW = jnp.where(tcont_nz & (pvb != 0) & (jjb != nb),
@@ -688,11 +909,13 @@ def make_outside_grids(t: Tables, s: jax.Array, lengths: jax.Array,
 
     valid_int = (pvb > 0) & (jjb != nb)
 
+    if not use_bil:
+        mism_out2_b = _packed_take(
+            mi_flat, (T2r_i * 5 + s_q1) * 5 + s_p).astype(dtype)
     return OutsideGrids(
         t2_nz=T2_i != 0, seed=seed, dangle_pq=g.dangle_ij,
         bse_mism_w=bse_mism_w, bse_au_w=bse_au_w,
-        mism_out2=_packed_take(mi_flat,
-                               (T2r_i * 5 + s_q1) * 5 + s_p).astype(dtype),
+        mism_out2=mism_out2_b,
         au_out2=lut1(W_au7, ohT2r).astype(dtype),
         contW=contW, mlclose_o=mlclose_o,
         spo10=spo10, spo01=spo01, spo11=spo11, spo12=spo12, spo21=spo21,

@@ -107,3 +107,45 @@ def test_db_tpu_engine_end_to_end(tmp_path, data_dir, golden_dir):
     for ga, ma in zip(golden, mine):
         assert len(ga) == len(ma)
         assert np.abs(ga - ma).max() < 2e-3
+
+
+def test_bilinear_tables_bit_exact(monkeypatch):
+    """The banded bilinear one-hot MXU table lookups (round 5: replaces the
+    ~950 ms of irregular gathers in make_grids/make_outside_grids on TPU)
+    must be BIT-EXACT equal to the _packed_take gathers — one-hot rows
+    select exactly one f32 entry and precision='highest' keeps every MXU
+    product exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from priblast_tpu.accessibility import batched as ba
+
+    B, N = 3, 150
+    w_span, band = 70, 72
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 5, (B, N)).astype(np.int32)  # incl. 0 = unknown
+    s_np = np.zeros((B, N + ba.ML + 4), np.int32)
+    s_np[:, 1 : N + 1] = codes
+    s = jnp.asarray(s_np)
+    lengths = jnp.asarray(np.full(B, N, np.int32))
+    t = ba.make_tables(w_span, dtype=jnp.dtype("float32"))
+    dtype = jnp.float32
+
+    def full(s, lengths):
+        g = ba.make_grids(t, s, lengths, N, band, dtype)
+        ins = ba.inside_pass(t, g, N, band, B, dtype)
+        _, _, _, _, _, multi2, A = ins
+        logZ = jnp.take_along_axis(A, lengths[None, :], axis=0)[0]
+        Bf = ba.b_outer_scan(ins[0], g.ext_dot, N, band, B, dtype, lengths)
+        og = ba.make_outside_grids(t, s, lengths, N, band, dtype, g,
+                                   multi2, A, Bf, logZ)
+        return g, og
+
+    monkeypatch.setenv("PRIBLAST_BILINEAR_TABLES", "0")
+    g0, og0 = jax.jit(full)(s, lengths)
+    monkeypatch.setenv("PRIBLAST_BILINEAR_TABLES", "1")
+    g1, og1 = jax.jit(full)(s, lengths)
+    for p0, p1 in ((g0, g1), (og0, og1)):
+        for name in p0._fields:
+            a, b = np.asarray(getattr(p0, name)), np.asarray(getattr(p1, name))
+            assert np.array_equal(a, b), name
