@@ -45,6 +45,7 @@ base-pair offset lists come back to the host.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +84,21 @@ def _tables_np():
 def _np_wob(t):
     # wobble pair types (reference: gapped_extension.cpp:340)
     return (t == 3) | (t == 4)
+
+
+def _pallas_mode() -> str:
+    """Per-diagonal Pallas sweep (search/gapped_pl.py): VMEM-resident
+    rolling windows remove the XLA while-loop's ~0.9 ms/diagonal HBM
+    floor. auto = on for the TPU backend; 'interpret' runs the kernel in
+    interpreter mode (CPU parity tests)."""
+    v = os.environ.get("PRIBLAST_GAPPED_PALLAS", "auto").lower()
+    if v in ("0", "false", "never", "off"):
+        return "off"
+    if v in ("1", "true", "always", "on"):
+        return "on"
+    if v == "interpret":
+        return "interpret"
+    return "on" if jax.default_backend() == "tpu" else "off"
 
 
 def _bulge_const(s: int) -> float:
@@ -350,9 +366,14 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
     def shiftd(k, up=False):
         return dm[k:k + Y] if up else _sr(dmY, k, 0)
 
+    # bf16 one-hots when the working dtype is f32: 0/1 are exact in bf16
+    # and precision=HIGHEST keeps every product exact, so plane values are
+    # bit-identical while the dominant [W|Y, B, K] traffic halves
+    oh_dt = jnp.bfloat16 if dt == jnp.float32 else dt
+
     def onehot(idx, K):
         return (idx[..., None] ==
-                jnp.arange(K, dtype=jnp.int32)).astype(dt)
+                jnp.arange(K, dtype=jnp.int32)).astype(oh_dt)
 
     def pairq(aux):
         return qm[:W] * 5 + aux
@@ -410,6 +431,26 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
         return v.astype(jnp.int32)
 
     def tb_combine(tabs, qidx, didx, tbp):
+        Kq, Kd = tabs[0].shape
+        if min(Kq, Kd) < 125:
+            # stack the 7 tb-slates into ONE einsum pair (the per-tb loop
+            # cost 7 einsum pairs; contraction starts on the WIDE side so
+            # the stacked intermediate carries the narrow one)
+            T = jnp.asarray(np.stack(tabs), dt)     # [7, Kq, Kd]
+            if Kd <= Kq:
+                Nq = jnp.einsum("xbp,tpq->xbtq", onehot(qidx, Kq), T,
+                                precision=hprec)
+                V = jnp.einsum("xbtq,ybq->xybt", Nq, onehot(didx, Kd),
+                               precision=hprec)
+            else:
+                Nd = jnp.einsum("ybq,tpq->ybtp", onehot(didx, Kd), T,
+                                precision=hprec)
+                V = jnp.einsum("xbp,ybtp->xybt", onehot(qidx, Kq), Nd,
+                               precision=hprec)
+            acc = V[..., 0]
+            for tb in range(1, 7):
+                acc = jnp.where(tbp == tb, V[..., tb], acc)
+            return acc
         acc = None
         for tb in range(7):
             v = xy_plane(tabs[tb], qidx, didx)
@@ -650,15 +691,42 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
                     pred=lax.dynamic_update_slice(
                         st["pred"], pr_row[None], (L + OFF, z0, z0)))
 
-    st = dict(L=jnp.asarray(1, jnp.int32), active=valid,
-              ovf=jnp.zeros(B, bool),
-              min_e=energy0.astype(dt), min_i=jnp.zeros(B, jnp.int32),
-              min_j=jnp.zeros(B, jnp.int32), min_len=jnp.zeros(B, jnp.int32),
-              min_a=acc0.astype(dt),
-              win_h=win_h0, win_a=win_a0,
-              mtz_m1=mtz_m1, mtw_m1=mtw_m1, mtz_0=mtz_0, mtw_0=mtw_0,
-              pred=pred_buf)
-    st = lax.while_loop(lambda s: jnp.any(s["active"]), body, st)
+    pl_mode = _pallas_mode() if dtype == "float32" else "off"
+    if pl_mode != "off":
+        from priblast_tpu.search import gapped_pl
+
+        EXTD = jnp.stack([dslice(extdbr, XW - 1 - LL)
+                          for LL in range(1, max_ext + 1)])
+        intloop_c = tuple(float(r_np["intloop"][min(s, 30)])
+                          for s in range(dropout + 1))
+        bulge_c = tuple(_bulge_const(s) if s >= 2 else 0.0
+                        for s in range(dropout + 1))
+        pf = jnp.concatenate(
+            [valid.astype(dt)[None], energy0.astype(dt)[None],
+             acc0.astype(dt)[None], jnp.zeros((5, B), dt)], axis=0)
+        pred_pl, ints_pl, floats_pl = gapped_pl.pallas_sweep(
+            P, extq_i, EXTD, maxq, maxd, origin_hyb, o_adm, mtz_0, mtw_0,
+            pf, W=W, dropout=dropout, max_ext=max_ext,
+            combos=tuple(combos), intloop_c=intloop_c, bulge_c=bulge_c,
+            tau=float(r_np["term_au"]),
+            interpret=(pl_mode == "interpret"))
+        st = dict(min_i=ints_pl[0], min_j=ints_pl[1],
+                  ovf=ints_pl[3] > 0,
+                  min_e=floats_pl[0], min_a=floats_pl[1],
+                  pred=jnp.concatenate(
+                      [jnp.full((OFF + 1, W, B), -1, jnp.int32), pred_pl],
+                      axis=0))
+    else:
+        st = dict(L=jnp.asarray(1, jnp.int32), active=valid,
+                  ovf=jnp.zeros(B, bool),
+                  min_e=energy0.astype(dt), min_i=jnp.zeros(B, jnp.int32),
+                  min_j=jnp.zeros(B, jnp.int32),
+                  min_len=jnp.zeros(B, jnp.int32),
+                  min_a=acc0.astype(dt),
+                  win_h=win_h0, win_a=win_a0,
+                  mtz_m1=mtz_m1, mtw_m1=mtw_m1, mtz_0=mtz_0, mtw_0=mtw_0,
+                  pred=pred_buf)
+        st = lax.while_loop(lambda s: jnp.any(s["active"]), body, st)
 
     # --- device traceback (reference: gapped_extension.cpp:409-424): walk
     # the predecessor links from (min_i, min_j); every step decreases the
@@ -726,10 +794,14 @@ def gapped_extend_both(hit_i, hit_f, valid,
     r1 = _extend_dir(q_end2, db_end2, cols["dbseq_start"],
                      r0["min_e"], r0["min_a"], valid, *bases, *seqs,
                      flag=1, **kw)
+    # int8 transfers: extents and traceback offsets are <= max_ext <= 120
+    # (guarded above), and the tunneled-host D2H path runs at ~10-20 MB/s,
+    # so the [B, 4, T] traceback array dominates per-block wall time at f32
     ints = jnp.stack([r0["min_i"], r0["min_j"], r1["min_i"], r1["min_j"]],
-                     axis=1)
+                     axis=1).astype(jnp.int8)
     floats = jnp.stack([r1["min_e"], r1["min_a"]], axis=1)
-    tb = jnp.stack([r0["tb_i"], r0["tb_j"], r1["tb_i"], r1["tb_j"]], axis=1)
+    tb = jnp.stack([r0["tb_i"], r0["tb_j"], r1["tb_i"], r1["tb_j"]],
+                   axis=1).astype(jnp.int8)
     return ints, floats, r0["overflow"] | r1["overflow"], tb
 
 
@@ -773,9 +845,14 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
         qbufs[0], dbufs[0], qbufs[1], qbufs[2], dbufs[1], dbufs[2],
         d=d, dropout=dropout, min_helix=min_helix, max_ext=max_ext,
         dtype=dtype)
-    ints = np.asarray(ints)[:n]
+    for x in (ints, floats, ovf, tb):
+        try:  # overlap the four D2H latencies (tunnel round trips)
+            x.copy_to_host_async()
+        except Exception:
+            pass
+    ints = np.asarray(ints)[:n].astype(np.int32)
     floats = np.asarray(floats)[:n]
-    tb = np.asarray(tb)[:n]
+    tb = np.asarray(tb)[:n].astype(np.int32)
     overflow = np.asarray(ovf)[:n]
     m_i0, m_j0, m_i1, m_j1 = (ints[:, k] for k in range(4))
     q_sp = hits["q_sp"].astype(np.int32)
