@@ -241,8 +241,8 @@ def _seg_i32(vals, base_ci, idx, B: int):
 
 def _expand_core(d: int, dtype_name: str, cap: int, B: int,
                  o, n_pairs, cand, cum, energy_c,
-                 q_sa, db_sa, pos_sid, pos_start, pos_len, pos_aoff,
-                 pos_coff, q_acc, qp_hi, qp_lo, db_acc, dp_hi, dp_lo):
+                 q_sa, db_sa, pos_sid, pos_ls, pos_ac2,
+                 q_acc, qp_hl2, db_acc, dp_hl2):
     """Kernel A: one [B] pair block -> compacted acc-filter survivors."""
     dt = jnp.float64 if dtype_name == "float64" else jnp.float32
     pid = o + lax.iota(jnp.int32, B)
@@ -284,25 +284,33 @@ def _expand_core(d: int, dtype_name: str, cap: int, B: int,
     dbb = seg(_R_DBB)
 
     # owning db sequence via the dense position maps (reference:
-    # src/seed_search.cpp:101-141)
+    # src/seed_search.cpp:101-141). Gathers cost per INDEX on a v5e, so
+    # the five parallel map reads ride two row-gathers: pos_ls holds
+    # len+start (local_start = (len+start) - db_sp - length, integer-exact
+    # in any association) and pos_ac2 holds (aoff, coff) as [N, 2] rows.
     pos = dbb + db_sp
     sid = at(pos_sid, pos)
-    local_start = at(pos_len, pos) - (db_sp - at(pos_start, pos)) - length
-    aoff = at(pos_aoff, pos)
-    coff = at(pos_coff, pos)
+    local_start = at(pos_ls, pos) - db_sp - length
+    ac = at(pos_ac2, pos)
+    aoff = ac[..., 0]
+    coff = ac[..., 1]
 
     # window accessibility as prefix-sum differences (reference:
     # src/seed_search.cpp:143-151); hi differences are exact (Sterbenz),
-    # lo differences restore the bits the split dropped
-    def win(acc_pt, hi, lo, abase, cbase):
-        a = cbase + d
-        b_ = cbase + length
-        s = ((at(hi, b_) - at(hi, a)).astype(dt)
-             + (at(lo, b_) - at(lo, a)).astype(dt))
+    # lo differences restore the bits the split dropped. (hi, lo) ride one
+    # [N, 2] row-gather per point read.
+    def win(acc_pt, hl2, abase, cbase):
+        wa = at(hl2, cbase + d)
+        wb = at(hl2, cbase + length)
+        hi_a = lax.bitcast_convert_type(wa[..., 0], jnp.float32)
+        lo_a = lax.bitcast_convert_type(wa[..., 1], jnp.float32)
+        hi_b = lax.bitcast_convert_type(wb[..., 0], jnp.float32)
+        lo_b = lax.bitcast_convert_type(wb[..., 1], jnp.float32)
+        s = ((hi_b - hi_a).astype(dt) + (lo_b - lo_a).astype(dt))
         return at(acc_pt, abase).astype(dt) + s
 
-    qa = win(q_acc, qp_hi, qp_lo, qab + q_sp, qab + q_sp)
-    dba = win(db_acc, dp_hi, dp_lo, aoff + local_start, coff + local_start)
+    qa = win(q_acc, qp_hl2, qab + q_sp, qab + q_sp)
+    dba = win(db_acc, dp_hl2, aoff + local_start, coff + local_start)
     acc_e = qa + dba
     keep = live & (acc_e + energy.astype(dt) < 0)
 
@@ -422,10 +430,9 @@ def _fused_blocks_v2(p, wb, qpack, dbpack, dtype: str, thr32: float):
     d = p.min_accessible_length
     dropout = p.drop_out_length_wo_gap
     exp_args = (wb.cand, wb.cum, wb.energy, qpack.sa, dbpack.sa_j,
-                dbpack.pos_sid, dbpack.pos_start, dbpack.pos_len,
-                dbpack.pos_aoff, dbpack.pos_coff,
-                qpack.acc, qpack.cond_pref_hi, qpack.cond_pref_lo,
-                dbpack.acc, dbpack.cond_pref_hi, dbpack.cond_pref_lo)
+                dbpack.pos_sid, dbpack.pos_ls, dbpack.pos_ac2,
+                qpack.acc, qpack.cond_pref2,
+                dbpack.acc, dbpack.cond_pref2)
     import os as _os
     import time as _time
 
@@ -458,7 +465,7 @@ def _fused_blocks_v2(p, wb, qpack, dbpack, dtype: str, thr32: float):
         be = _bucket_of(max(cnt, 1), _EXT_LADDER)
         hits_b = {k: v[:be] for k, v in hits.items()}
         res, unfin, n_unfin = _uwin_jit(d, dropout, 16, np.int32(cnt),
-                                        hits_b, qpack.bufs, dbpack.bufs)
+                                        hits_b, qpack.bufs6, dbpack.bufs6)
         n_unfin = int(n_unfin)
         tick(f"uwin be={be} unfin={n_unfin}")
         if n_unfin:

@@ -56,6 +56,48 @@ def _pack_regions(arrays, np_dtype, pad: int = 1, tail: int = 8):
     return flat, bases
 
 
+# Packed gather sources (round 5). Irregular gathers on a v5e cost per
+# INDEX (~100 M idx/s 1-wide), but slice-gathers of short contiguous rows
+# run ~2x faster per index AND deliver 2-16 elements each (measured:
+# /tmp slice-gather bench, w2/w4 at ~200 M idx/s). The fused/uwin
+# kernels' per-lane window reads therefore ride row-packed arrays:
+# chars as [*, 4]-int32 rows of 32 nibbles, f32 arrays as [*, 4] rows,
+# and paired int32 tables as [*, 2] rows. A 32-entry head pad (filled
+# with the array's clip-to-zero value, element 0) keeps the packed reads
+# equal to the unpacked clipped reads for every position the kernels can
+# touch. int64 is deliberately avoided: x64 is off on the TPU path.
+_NPAD = 32
+
+
+def _nibble_pack(flat_i32: np.ndarray) -> np.ndarray:
+    """[Nw/4, 4] int32 rows, each row = 32 chars at 4 bits."""
+    a = np.concatenate([np.zeros(_NPAD, np.int64),
+                        flat_i32.astype(np.int64),
+                        np.zeros(_NPAD + 8, np.int64)])
+    a = np.concatenate([a, np.zeros((-len(a)) % 32, np.int64)])
+    assert int(a.max(initial=0)) < 16 and int(a.min(initial=0)) >= 0
+    w = (a.astype(np.uint64) & 15).reshape(-1, 8)
+    out = np.zeros(len(w), np.uint64)
+    for i in range(8):
+        out |= w[:, i] << np.uint64(4 * i)
+    return out.astype(np.uint32).view(np.int32).reshape(-1, 4)
+
+
+def _row4_f32(flat_f32: np.ndarray) -> np.ndarray:
+    """[N/4, 4] f32 rows (head pad = element 0, the clip fill)."""
+    head = np.full(_NPAD, flat_f32[0] if len(flat_f32) else 0, np.float32)
+    a = np.concatenate([head, np.asarray(flat_f32, np.float32),
+                        np.zeros(_NPAD + 8, np.float32)])
+    a = np.concatenate([a, np.zeros((-len(a)) % 4, np.float32)])
+    return a.reshape(-1, 4)
+
+
+def _pair_rows_i32(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """[N, 2] rows pairing two parallel int32 arrays (one w2 gather)."""
+    return np.stack([np.asarray(lo).view(np.int32),
+                     np.asarray(hi).view(np.int32)], axis=1)
+
+
 def _prefix_hilo(arr: np.ndarray):
     """Exclusive prefix sums of a float32 array as a hi/lo float32 pair.
 
@@ -95,6 +137,12 @@ class QueryPack:
         ph, plo = _prefix_hilo(cond)
         self.cond_pref_hi = dist.put_replicated(ph, mesh)
         self.cond_pref_lo = dist.put_replicated(plo, mesh)
+        self.cond_pref2 = dist.put_replicated(
+            _pair_rows_i32(ph, plo), mesh)
+        # packed gather sources for the windowed-extension kernel
+        self.enc_nib = dist.put_replicated(_nibble_pack(enc), mesh)
+        self.acc4 = dist.put_replicated(_row4_f32(acc), mesh)
+        self.cond4 = dist.put_replicated(_row4_f32(cond), mesh)
         self.sa = None
         if q_sas is not None:
             sa, self.sa_base = _pack_regions(q_sas, np.int32, pad=0)
@@ -103,6 +151,11 @@ class QueryPack:
     @property
     def bufs(self):
         return (self.enc, self.acc, self.cond)
+
+    @property
+    def bufs6(self):
+        return (self.enc, self.acc, self.cond,
+                self.enc_nib, self.acc4, self.cond4)
 
 
 class DbPack:
@@ -177,10 +230,27 @@ class DbPack:
         ph, plo = _prefix_hilo(cond)
         self.cond_pref_hi = dist.put_replicated(ph, mesh)
         self.cond_pref_lo = dist.put_replicated(plo, mesh)
+        self.cond_pref2 = dist.put_replicated(
+            _pair_rows_i32(ph, plo), mesh)
+        # packed gather sources (expansion + windowed extension)
+        self.seq_nib = dist.put_replicated(_nibble_pack(seq), mesh)
+        self.acc4 = dist.put_replicated(_row4_f32(acc), mesh)
+        self.cond4 = dist.put_replicated(_row4_f32(cond), mesh)
+        self.pos_ls = dist.put_replicated(
+            _pack_regions([pm_len[i] + pm_start[i]
+                           for i in range(len(chunks))], np.int32)[0], mesh)
+        self.pos_ac2 = dist.put_replicated(_pair_rows_i32(
+            _pack_regions(pm_ao, np.int32)[0],
+            _pack_regions(pm_co, np.int32)[0]), mesh)
 
     @property
     def bufs(self):
         return (self.seq, self.acc, self.cond)
+
+    @property
+    def bufs6(self):
+        return (self.seq, self.acc, self.cond,
+                self.seq_nib, self.acc4, self.cond4)
 
 
 @dataclass

@@ -127,6 +127,81 @@ def _win(buf, base, sign: int, lo: int, hi: int):
     return _clip_at(buf, base[None, :] + sign * x[:, None])
 
 
+# Packed windows (round 5): irregular gathers cost per INDEX on a v5e
+# (~100 M idx/s 1-wide; short-row slice-gathers ~2x faster per index and
+# deliver 2-16 elements each), and the window reads below were the fused
+# stage's wall (~1.9 us/lane). Chars ride [*, 4]-int32 rows of 32 nibbles
+# and f32 arrays ride [*, 4] rows (see pipeline._nibble_pack / _row4_f32,
+# which also add the 32-entry clip-equivalent head pad), cutting gathered
+# INDICES per 45-char window from 45 to 3. Unpacking is fused elementwise
+# VPU work. Values are bit-identical to the unpacked clipped reads.
+_NPAD = 32  # must match pipeline._NPAD
+
+
+def _win_offsets(n: int, sign: int, lo: int, hi: int):
+    if sign > 0:
+        return lo, np.arange(n, dtype=np.int64)
+    return -(hi - 1), np.arange(n - 1, -1, -1, dtype=np.int64)
+
+
+def _row_words(rowbuf, pmin, span: int, per_row: int):
+    """Gather the rows covering elements [pmin, pmin + span) of a
+    row-packed buffer and return them as a flat word list [NR*W, B] plus
+    the in-row offset m = pmin % (row elements)."""
+    elems = per_row
+    rlo = pmin // jnp.int32(elems)
+    m = (pmin % jnp.int32(elems)).astype(jnp.int32)
+    NR = (span + elems - 2) // elems + 1
+    k = jnp.clip(rlo[None, :] + jnp.arange(NR, dtype=jnp.int32)[:, None],
+                 0, rowbuf.shape[0] - 1)
+    rows = rowbuf[k]                           # [NR, B, W]
+    words = jnp.moveaxis(rows, 2, 1).reshape(NR * rowbuf.shape[1], -1)
+    return words, m
+
+
+def _win_nib(nib4, base, sign: int, lo: int, hi: int):
+    """Row-packed-nibble equivalent of _win over a char buffer.
+    nib4: [Nw/4, 4] int32, 32 chars per row."""
+    n = hi - lo
+    off0, cx = _win_offsets(n, sign, lo, hi)
+    pmin = base + jnp.int32(_NPAD + off0)
+    # nibble positions: row = 32 chars = 4 words
+    words, m = _row_words(nib4, pmin, n + 31, 32)
+    # words: [NR*4, B] int32; char r sits at nibble m + cx[r]
+    rows = []
+    nw = words.shape[0]
+    for r in range(n):
+        c = int(cx[r])
+        widx = m + jnp.int32(c)                # nibble index
+        q0 = c >> 3
+        sel = (widx >> 3) - q0                 # 0..4 (m in 0..31)
+        w = words[min(q0, nw - 1)]
+        for t in range(1, 5):
+            w = jnp.where(sel == t, words[min(q0 + t, nw - 1)], w)
+        shift = (widx & 7) * 4
+        rows.append((w >> shift) & 15)
+    return jnp.stack(rows, 0)
+
+
+def _win_row4(p4, base, sign: int, lo: int, hi: int):
+    """Row-packed equivalent of _win over an f32 buffer ([N/4, 4]):
+    element at position p lives at flat slot (p & 3) + p//4*4 of the
+    gathered rows; the in-row phase m selects among 4 static slots."""
+    n = hi - lo
+    off0, cx = _win_offsets(n, sign, lo, hi)
+    pmin = base + jnp.int32(_NPAD + off0)
+    el, m = _row_words(p4, pmin, n + 3, 4)     # [NE, B], m = pmin & 3
+    ne = el.shape[0]
+    out = []
+    for r in range(n):
+        c = int(cx[r])
+        w = el[min(c, ne - 1)]
+        for t in range(1, 4):
+            w = jnp.where(m == t, el[min(c + t, ne - 1)], w)
+        out.append(w)
+    return jnp.stack(out, 0)
+
+
 def _phase_planes(dt, right: bool, qraw, draw, WU: int, OX: int):
     """Per-step planes over x in [-OX, WU+1] (plane row x + OX): pair
     types and the u-class loop-energy values, via exact one-hot MXU
@@ -192,8 +267,8 @@ def ungapped_window(q_sp, db_sp, length, dbseq_start, acc_e, hyb_e,
     are NOT final — re-run them on the lockstep kernel from the same
     inputs). Arithmetic per step is bit-identical to ungapped_core."""
     dt = jnp.float32
-    qbuf, q_acc, q_cond = bufs
-    dbuf, db_acc, db_cond = dbufs
+    qbuf, q_acc, q_cond, qnib, qacc4, qcond4 = bufs
+    dbuf, db_acc, db_cond, dnib, dacc4, dcond4 = dbufs
     OX = dropout + 3
     WU = wu
     XLO, XHI = -OX, WU + 2     # char plane x-range
@@ -213,8 +288,8 @@ def ungapped_window(q_sp, db_sp, length, dbseq_start, acc_e, hyb_e,
         position relative to i0 (<= 0 at entry). minq_off: offset of the
         current argmin. Offsets grow with the step index s = 1..WU."""
         sign = 1 if right else -1
-        qraw = _win(qbuf, qb + i0, sign, XLO, XHI)
-        draw = _win(dbuf, dbb + j0, sign, XLO, XHI)
+        qraw = _win_nib(qnib, qb + i0, sign, XLO, XHI)
+        draw = _win_nib(dnib, dbb + j0, sign, XLO, XHI)
         # boundary masks (left also stops on i < 0 / j < 0; the clipped
         # char read itself reproduces the reference's _at)
         x = jnp.arange(XLO, XHI, dtype=jnp.int32)
@@ -228,14 +303,14 @@ def ungapped_window(q_sp, db_sp, length, dbseq_start, acc_e, hyb_e,
         # dense per-step accessibility deltas, reference add order
         # (src/ungapped_extension.cpp:62-67 left, :112-119 right)
         if not right:
-            qaw = _win(q_acc, qab + i0, -1, 0, WU + 1)
-            qcw = _win(q_cond, qab + i0 + d, -1, 1, WU + 1)
-            dcw = _win(db_cond, coff + ide0, 1, 1, WU + 1)
+            qaw = _win_row4(qacc4, qab + i0, -1, 0, WU + 1)
+            qcw = _win_row4(qcond4, qab + i0 + d, -1, 1, WU + 1)
+            dcw = _win_row4(dcond4, coff + ide0, 1, 1, WU + 1)
             dacc = ((qaw[1:] - qaw[:-1]) + qcw) + dcw
         else:
-            qcw2 = _win(q_cond, qab + i0, 1, 1, WU + 1)
-            daw = _win(db_acc, aoff + ide0, -1, 0, WU + 1)
-            dcw2 = _win(db_cond, coff + ide0 + d, -1, 1, WU + 1)
+            qcw2 = _win_row4(qcond4, qab + i0, 1, 1, WU + 1)
+            daw = _win_row4(dacc4, aoff + ide0, -1, 0, WU + 1)
+            dcw2 = _win_row4(dcond4, coff + ide0 + d, -1, 1, WU + 1)
             dacc = ((qcw2 + daw[1:]) - daw[:-1]) + dcw2
         dacc = dacc.astype(dt)
 
