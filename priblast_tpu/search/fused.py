@@ -64,149 +64,9 @@ _R_NQ = 9     # query-interval width (inner pair dimension)
 _ROWS = 10
 
 
-def _core(d: int, max_len: int, sbits: int, dtype_name: str, thr: float,
-          dropout: int, cap: int,
-          o, n_pairs, cand, cum, energy_c,
-          q_sa, db_sa, start_pos, seq_len, abs_aoff, abs_coff,
-          qbufs, dbufs, B: int):
-    """One [B] pair block: expand + ungapped + threshold + compact."""
-    dt = jnp.float64 if dtype_name == "float64" else jnp.float32
-
-    pid = o + lax.iota(jnp.int32, B)
-    live = pid < n_pairs
-    # owning candidate: pair counts prefix (zero-width pad candidates sit
-    # after every real pair index, so clip never selects one for live lanes)
-    ci = jnp.clip(jnp.searchsorted(cum, pid, side="right") - 1,
-                  0, cand.shape[1] - 1).astype(jnp.int32)
-
-    def crow(r):
-        return cand[r, ci]
-
-    nq = jnp.maximum(crow(_R_NQ), 1)
-    off = pid - cum[ci]
-    ki = off // nq          # db-interval offset (outer loop in the ref)
-    qi = off - ki * nq      # query-interval offset (inner loop)
-
-    def at(buf, pos):
-        return buf[jnp.clip(pos, 0, buf.shape[0] - 1)]
-
-    q_sp = at(q_sa, crow(_R_QSA) + qi)
-    db_sp = at(db_sa, crow(_R_DSA) + ki)
-    length = jnp.maximum(crow(_R_LEN), 1)
-    energy = energy_c[ci]
-
-    # owning db sequence: upper_bound(start_pos, db_sp) - 1 on the chunk's
-    # segment (reference: src/seed_search.cpp:101-141)
-    spb = crow(_R_SPB)
-    lo = jnp.zeros_like(db_sp)
-    hi = jnp.maximum(crow(_R_NSEQ), 1)
-
-    def bstep(_, lh):
-        lo, hi = lh
-        mid = (lo + hi) // 2
-        go = (mid < hi) & (at(start_pos, spb + mid) <= db_sp)
-        return (jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid))
-
-    lo, hi = lax.fori_loop(0, sbits, bstep, (lo, hi))
-    sid = lo - 1
-    local_start = (at(seq_len, spb + sid)
-                   - (db_sp - at(start_pos, spb + sid)) - length)
-    offb = crow(_R_OFFB)
-    aoff = at(abs_aoff, offb + sid)
-    coff = at(abs_coff, offb + sid)
-
-    # window accessibility (reference: src/seed_search.cpp:143-151)
-    qab = crow(_R_QAB)
-    taps = jnp.arange(d, max_len, dtype=jnp.int32)
-    tapmask = taps[None, :] < length[:, None]
-    _, q_acc, q_cond = qbufs
-    _, db_acc, db_cond = dbufs
-
-    def win(acc, cond, abase, cbase):
-        c = cond[jnp.clip(cbase[:, None] + taps[None, :], 0,
-                          cond.shape[0] - 1)].astype(dt)
-        return at(acc, abase).astype(dt) + jnp.sum(
-            jnp.where(tapmask, c, 0.0), axis=1)
-
-    qa = win(q_acc, q_cond, qab + q_sp, qab + q_sp)
-    dba = win(db_acc, db_cond, aoff + local_start, coff + local_start)
-    acc_e = qa + dba
-    keep = live & (acc_e + energy.astype(dt) < 0)
-
-    # lockstep ungapped extension on surviving lanes (f32 arithmetic as in
-    # the reference; dead lanes are inactive from step zero)
-    qenc_bufs = (qbufs[0], q_acc, q_cond)
-    res = ungapped_core(
-        q_sp, db_sp, length, local_start,
-        acc_e.astype(jnp.float32), energy.astype(jnp.float32),
-        crow(_R_QB), qab, crow(_R_DBB), aoff, coff,
-        qenc_bufs, dbufs, d, dropout, active0=keep)
-
-    keep = keep & (res["energy"] <= jnp.float32(thr))
-
-    # order-preserving compaction into [cap]
-    idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dst = jnp.where(keep, idx, cap)
-
-    def compact(v, fill=0):
-        out = jnp.full((cap,), fill, v.dtype)
-        return out.at[dst].set(v, mode="drop")
-
-    out = dict(
-        q_sp=compact(res["q_sp"]), db_sp=compact(res["db_sp"]),
-        q_len=compact(res["q_len"]), db_len=compact(res["db_len"]),
-        dbseq_id=compact(sid), dbseq_start=compact(res["dbseq_start"]),
-        acc_e=compact(res["acc_e"]), hyb_e=compact(res["hyb_e"]),
-        energy=compact(res["energy"]), pid=compact(pid))
-    return out, jnp.sum(keep.astype(jnp.int32))
-
-
-@functools.lru_cache(maxsize=32)
-def _fused_sharded(mesh, d, max_len, sbits, dtype_name, thr, dropout,
-                   cap, B):
-    """shard_map variant: each device owns a contiguous pid block and
-    compacts locally; device-major concatenation preserves pid order."""
-    import functools as _ft
-
-    try:
-        from jax import shard_map as _sm
-
-        shard_map = _ft.partial(_sm, check_vma=False)
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as _sme
-
-        shard_map = _ft.partial(_sme, check_rep=False)
-
-    ndev = int(np.prod(mesh.devices.shape))
-    if B % ndev or cap % ndev:
-        raise ValueError(
-            f"fused pair block B={B} and cap={cap} must divide the mesh "
-            f"size {ndev}; use a power-of-two device count or shrink the "
-            f"mesh (jax.sharding.Mesh over a 2^k subset)")
-
-    def per_dev(o, n_pairs, cand, cum, energy_c, q_sa, db_sa, start_pos,
-                seq_len, abs_aoff, abs_coff, qbufs, dbufs):
-        didx = lax.axis_index("data")
-        o_dev = o + didx * (B // ndev)
-        out, cnt = _core(d, max_len, sbits, dtype_name, thr, dropout,
-                         cap // ndev, o_dev, n_pairs, cand, cum, energy_c,
-                         q_sa, db_sa, start_pos, seq_len, abs_aoff,
-                         abs_coff, qbufs, dbufs, B // ndev)
-        return out, cnt[None]
-
-    rep = P()
-    fn = shard_map(per_dev, mesh=mesh,
-                   in_specs=(rep,) * 13,
-                   out_specs=({k: P("data") for k in
-                               ("q_sp", "db_sp", "q_len", "db_len",
-                                "dbseq_id", "dbseq_start", "acc_e",
-                                "hyb_e", "energy", "pid")}, P("data")))
-    return jax.jit(fn)
-
-
 # ---------------------------------------------------------------------------
-# v2 single-device path (round 4): gather-minimal expansion + windowed
-# extension. The round-3 `_core` above (kept for the mesh/shard_map path)
+# v2 path (round 4, mesh-ported round 5): gather-minimal expansion +
+# windowed extension. The round-3 lockstep `_core`
 # measured ~18k pairs/s on a v5e: its searchsorted/candidate-row/binary-
 # search gathers ran at ~110 M elems/s and its lockstep extension ran as
 # many serial steps as the WORST lane needed. v2 restructures:
@@ -333,8 +193,7 @@ def _expand_core(d: int, dtype_name: str, cap: int, B: int,
 _expand_jit = jax.jit(_expand_core, static_argnums=(0, 1, 2, 3))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _uwin_jit(d, dropout, wu, n, hits, qbufs, dbufs):
+def _uwin_core(d, dropout, wu, n, hits, qbufs, dbufs):
     from priblast_tpu.search.uwin import ungapped_window
 
     B = hits["q_sp"].shape[0]
@@ -350,8 +209,10 @@ def _uwin_jit(d, dropout, wu, n, hits, qbufs, dbufs):
     return res, unfin, jnp.sum(unfin.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _tail_jit(d, dropout, capu, hits, unfin, res, qbufs, dbufs):
+_uwin_jit = jax.jit(_uwin_core, static_argnums=(0, 1, 2))
+
+
+def _tail_core(d, dropout, capu, hits, unfin, res, qbufs, dbufs):
     """Kernel C: re-run the unfinished lanes on the lockstep kernel and
     scatter the corrected results back into the windowed results."""
     B = hits["q_sp"].shape[0]
@@ -378,8 +239,10 @@ def _tail_jit(d, dropout, capu, hits, unfin, res, qbufs, dbufs):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _thresh_jit(thr, cap, n, res, hits):
+_tail_jit = jax.jit(_tail_core, static_argnums=(0, 1, 2))
+
+
+def _thresh_core(thr, cap, n, res, hits):
     """Kernel D: interaction-energy threshold + final compaction."""
     B = res["q_sp"].shape[0]
     keep = (lax.iota(jnp.int32, B) < n) & (res["energy"]
@@ -397,6 +260,60 @@ def _thresh_jit(thr, cap, n, res, hits):
     out["dbseq_id"] = compact(hits["dbseq_id"])
     out["pid"] = compact(hits["pid"])
     return out, jnp.sum(keep.astype(jnp.int32))
+
+
+_thresh_jit = jax.jit(_thresh_core, static_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_sharded_v2(mesh, d, dtype_name, thr, dropout, cap, B, capu):
+    """shard_map mesh variant of the v2 chain: each device owns a
+    contiguous pid block and runs expand -> windowed extension -> lockstep
+    tail -> threshold locally on fixed shapes; device-major concatenation
+    preserves pid order. The per-device survivor/unfinished counts return
+    so the caller can retry a block at larger caps (rare)."""
+    import functools as _ft
+
+    try:
+        from jax import shard_map as _sm
+
+        shard_map = _ft.partial(_sm, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sme
+
+        shard_map = _ft.partial(_sme, check_rep=False)
+
+    ndev = int(np.prod(mesh.devices.shape))
+    if B % ndev or cap % ndev:
+        raise ValueError(
+            f"fused pair block B={B} and cap={cap} must divide the mesh "
+            f"size {ndev}; use a power-of-two device count or shrink the "
+            f"mesh (jax.sharding.Mesh over a 2^k subset)")
+    capd = cap // ndev
+
+    def per_dev(o, n_pairs, cand, cum, energy_c, q_sa, db_sa, pos_sid,
+                pos_ls, pos_ac2, q_acc, qp_hl2, db_acc, dp_hl2,
+                qbufs6, dbufs6):
+        didx = lax.axis_index("data")
+        o_dev = o + didx * (B // ndev)
+        hits, cnt = _expand_core(d, dtype_name, capd, B // ndev,
+                                 o_dev, n_pairs, cand, cum, energy_c,
+                                 q_sa, db_sa, pos_sid, pos_ls, pos_ac2,
+                                 q_acc, qp_hl2, db_acc, dp_hl2)
+        ncl = jnp.minimum(cnt, capd)
+        res, unfin, n_unfin = _uwin_core(d, dropout, 16, ncl, hits,
+                                         qbufs6, dbufs6)
+        res = _tail_core(d, dropout, capu, hits, unfin, res,
+                         qbufs6[:3], dbufs6[:3])
+        out, nf = _thresh_core(thr, capd, ncl, res, hits)
+        return out, cnt[None], n_unfin[None], nf[None]
+
+    rep = P()
+    fn = shard_map(per_dev, mesh=mesh,
+                   in_specs=(rep,) * 16,
+                   out_specs=({k: P("data") for k in _OUT_KEYS},
+                              P("data"), P("data"), P("data")))
+    return jax.jit(fn)
 
 
 def _bucket_of(n: int, ladder) -> int:
@@ -652,28 +569,38 @@ def _fused_wave(p, cands, qpack, dbpack, dtype: str = "float32"):
     if mesh is None:
         parts = _fused_blocks_v2(p, wb, qpack, dbpack, dtype, float(thr32))
     else:
-        statics = (p.min_accessible_length, p.max_seed_length, wb.sbits,
-                   dtype, float(thr32), p.drop_out_length_wo_gap)
+        ndev = int(np.prod(mesh.devices.shape))
         bufs = (wb.cand, wb.cum, wb.energy, qpack.sa, dbpack.sa_j,
-                dbpack.start_pos_j, dbpack.seq_len_j, dbpack.abs_acc_off_j,
-                dbpack.abs_cond_off_j, qpack.bufs, dbpack.bufs)
+                dbpack.pos_sid, dbpack.pos_ls, dbpack.pos_ac2,
+                qpack.acc, qpack.cond_pref2, dbpack.acc, dbpack.cond_pref2,
+                qpack.bufs6, dbpack.bufs6)
+        d2 = p.min_accessible_length
+        dropout = p.drop_out_length_wo_gap
         parts = []
 
         def run_block(o: int, ns: int) -> None:
             B = _bucket(ns)
-            for cap in (max(B // 4, 8), B):
-                fn = _fused_sharded(mesh, *statics, cap, B)
-                out, cnt = fn(np.int32(o), np.int32(wb.tot), *bufs)
-                cnt = np.asarray(cnt)
-                ndev = len(cnt)
-                cl = cap // ndev
-                if (cnt <= cl).all():
-                    segs = {k: np.asarray(out[k]) for k in _OUT_KEYS}
-                    parts.append({k: np.concatenate(
-                        [segs[k][i * cl: i * cl + cnt[i]]
-                         for i in range(ndev)]) for k in _OUT_KEYS})
-                    return
-            raise AssertionError("unreachable: cap == B cannot overflow")
+            capu = 16384
+            while True:
+                for cap in (max(B // 4, 8 * ndev), B):
+                    fn = _fused_sharded_v2(mesh, d2, dtype, float(thr32),
+                                           dropout, cap, B, capu)
+                    out, cnt, nunf, nf = fn(np.int32(o), np.int32(wb.tot),
+                                            *bufs)
+                    cnt = np.asarray(cnt)
+                    if (cnt <= cap // ndev).all():
+                        break
+                if (np.asarray(nunf) <= capu).all():
+                    break
+                # rare: too many window-edge stragglers for the fixed
+                # tail buffer — recompile the block at a larger one
+                capu = min(capu * 4, B)
+            nf = np.asarray(nf)
+            cl = cap // ndev
+            segs = {k: np.asarray(out[k]) for k in _OUT_KEYS}
+            parts.append({k: np.concatenate(
+                [segs[k][i * cl: i * cl + nf[i]]
+                 for i in range(ndev)]) for k in _OUT_KEYS})
 
         for o in range(0, max(wb.tot, 1), _PAIR_LADDER[-1]):
             if wb.tot == 0:

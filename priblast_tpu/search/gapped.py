@@ -248,7 +248,7 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
                 q_enc, db_seq, q_acc, q_cond,
                 db_acc, db_cond, *, flag: int,
                 d: int, dropout: int, min_helix: int, max_ext: int,
-                dtype: str = "float32"):
+                dtype: str = "float32", allow_pallas: bool = True):
     """One direction (flag 0 = left, 1 = right) of the gapped extension for
     a batch of hits over flattened buffers.
 
@@ -691,7 +691,8 @@ def _extend_dir(q_start, db_start, id_anchor, energy0, acc0,
                     pred=lax.dynamic_update_slice(
                         st["pred"], pr_row[None], (L + OFF, z0, z0)))
 
-    pl_mode = _pallas_mode() if dtype == "float32" else "off"
+    pl_mode = (_pallas_mode()
+               if dtype == "float32" and allow_pallas else "off")
     if pl_mode != "off":
         from priblast_tpu.search import gapped_pl
 
@@ -762,11 +763,11 @@ _HI_COLS = ("q_sp", "db_sp", "q_len", "db_len", "dbseq_start",
 
 @functools.partial(jax.jit,
                    static_argnames=("d", "dropout", "min_helix", "max_ext",
-                                    "dtype"))
+                                    "dtype", "allow_pallas"))
 def gapped_extend_both(hit_i, hit_f, valid,
                        q_enc, db_seq, q_acc, q_cond, db_acc, db_cond, *,
                        d: int, dropout: int, min_helix: int, max_ext: int,
-                       dtype: str = "float32"):
+                       dtype: str = "float32", allow_pallas: bool = True):
     """Both extension directions in ONE device program (left, then right
     from the post-left extents — reference gapped_extension.cpp:41-47).
     One dispatch + stacked transfers: on a tunneled chip each jit call
@@ -783,7 +784,7 @@ def gapped_extend_both(hit_i, hit_f, valid,
     seqs = (q_enc, db_seq, q_acc, q_cond, db_acc, db_cond)
     bases = tuple(cols[k] for k in ("qb", "qab", "dbb", "aoff", "coff"))
     kw = dict(d=d, dropout=dropout, min_helix=min_helix, max_ext=max_ext,
-              dtype=dtype)
+              dtype=dtype, allow_pallas=allow_pallas)
     r0 = _extend_dir(cols["q_sp"], cols["db_sp"],
                      cols["dbseq_start"] + cols["db_len"] - 1,
                      energy, acc_e, valid, *bases, *seqs, flag=0, **kw)
@@ -844,7 +845,7 @@ def gapped_extend_flat_batch(hits, qbufs, dbufs, *, d: int,
         dist.put_batch(valid, mesh),
         qbufs[0], dbufs[0], qbufs[1], qbufs[2], dbufs[1], dbufs[2],
         d=d, dropout=dropout, min_helix=min_helix, max_ext=max_ext,
-        dtype=dtype)
+        dtype=dtype, allow_pallas=mesh is None)
     for x in (ints, floats, ovf, tb):
         try:  # overlap the four D2H latencies (tunnel round trips)
             x.copy_to_host_async()
