@@ -4,9 +4,12 @@
 PY ?= python
 SMOKE_TMP ?= /tmp/priblast_smoke
 
-.PHONY: test smoke bench prewarm clean
+.PHONY: test test-all smoke bench prewarm clean
 
 test:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -x -q
 
 # 5-minute end-to-end smoke: tiny db build + ris search on whatever

@@ -41,8 +41,14 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def maybe_mesh() -> Mesh | None:
-    """A 1-D data mesh over all local devices, or None single-device."""
-    return make_mesh() if len(jax.devices()) > 1 else None
+    """A 1-D data mesh over this process's LOCAL devices, or None when
+    single-device. Local (not global) on purpose: under jax.distributed
+    each process owns its query/db partition outright (the reference's
+    per-rank distribution), so its device work must not form global
+    arrays — a global mesh would require every process to hold identical
+    values (tests/test_multihost.py::test_multiprocess_ris_tpu_engine)."""
+    devs = jax.local_devices()
+    return Mesh(np.array(devs), ("data",)) if len(devs) > 1 else None
 
 
 def put_batch(x, mesh: Mesh | None):
@@ -52,6 +58,13 @@ def put_batch(x, mesh: Mesh | None):
     distribution (src/fastafile_reader.cpp:135-314)."""
     if mesh is None:
         return jnp.asarray(x)
+    ndev = int(np.prod(mesh.devices.shape))
+    if np.shape(x)[0] % ndev:
+        # batch smaller than (or not divisible by) the mesh: replicate —
+        # a tiny batch is not worth sharding, and device_put would reject
+        # a non-divisible leading dim (hit by multiprocess runs whose
+        # global mesh exceeds the padded batch, tests/test_multihost.py)
+        return jax.device_put(x, NamedSharding(mesh, P()))
     spec = P("data", *([None] * (np.ndim(x) - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 
